@@ -1,0 +1,153 @@
+"""Fused sampling filters: temperature -> min-p -> top-k -> top-p -> categorical.
+
+Semantics are an exact, batched, jit-safe re-derivation of the reference
+sampling helpers (reference: models/utils.py:53-111 ``top_k_top_p_filtering``
+and :114-122 ``topk_sampling``):
+
+- ``min_p`` (0 < min_p < 1): tokens with post-temperature probability below
+  ``min_p`` are masked, but only if *every* row keeps at least one survivor
+  (the reference checks ``torch.all`` over the whole tensor); when active,
+  top-k / top-p are bypassed.
+- ``top_k``: tokens strictly below the k-th largest logit are masked — ties at
+  the threshold all survive, exactly like the reference's ``logits <
+  threshold`` test.
+- ``top_p``: nucleus filtering over the descending-sorted distribution with
+  the keep-first-above-threshold shift.
+
+Two entry points:
+
+- :func:`filter_logits` / :func:`sample`: the exact path (full-vocab ops;
+  used for parity tests and as the default).
+- :func:`sample_topk_fast`: decode-loop fast path that restricts all work to
+  the top-k candidates (k static, e.g. 30). Identical to the exact path
+  except when several tokens tie exactly at the k-th logit (measure-zero for
+  real model logits).
+
+Sampling uses ``jax.random.categorical`` (Gumbel trick); draws cannot be
+bit-identical to ``torch.multinomial``, so cross-framework parity is defined
+on the *filtered logit sets* and greedy traces, which these functions preserve
+exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .masks import NEG_INF
+
+
+def _apply_top_k(logits: jnp.ndarray, top_k: int, min_tokens_to_keep: int) -> jnp.ndarray:
+    v = logits.shape[-1]
+    k = min(max(top_k, min_tokens_to_keep), v)
+    thresh = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def _apply_top_p(logits: jnp.ndarray, top_p: float, min_tokens_to_keep: int) -> jnp.ndarray:
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    order = jnp.argsort(logits, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum > top_p
+    if min_tokens_to_keep > 1:
+        remove_sorted = remove_sorted.at[..., :min_tokens_to_keep].set(False)
+    # shift right: always keep the first token that crosses the threshold
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]], axis=-1
+    )
+    remove = jnp.zeros_like(remove_sorted)
+    batch_idx = jnp.arange(logits.shape[0])[:, None]
+    remove = remove.at[batch_idx, order].set(remove_sorted)
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def filter_logits(
+    logits: jnp.ndarray,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
+    min_tokens_to_keep: int = 1,
+) -> jnp.ndarray:
+    """Exact batched filter. logits: [B, V]; top_k/top_p/min_p are static."""
+    assert logits.ndim == 2, "filter_logits expects [B, V]"
+    min_p_enabled = 0.0 < min_p < 1.0
+
+    filtered = logits
+    if top_k and top_k > 0:
+        filtered = _apply_top_k(filtered, top_k, min_tokens_to_keep)
+    if top_p < 1.0:
+        filtered = _apply_top_p(filtered, top_p, min_tokens_to_keep)
+
+    if min_p_enabled:
+        probs = jax.nn.softmax(logits, axis=-1)
+        remove = probs < min_p
+        # global activation flag, matching the reference's torch.all check
+        active = jnp.all(remove.sum(-1) < logits.shape[-1])
+        minp_filtered = jnp.where(remove, NEG_INF, logits)
+        filtered = jnp.where(active, minp_filtered, filtered)
+    return filtered
+
+
+def sample(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Temperature + filter + categorical draw. Returns int32 [B]."""
+    if temperature != 1.0:
+        logits = logits / temperature
+    filtered = filter_logits(logits, top_k=top_k, top_p=top_p, min_p=min_p)
+    return jax.random.categorical(rng, filtered.astype(jnp.float32), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("top_k", "top_p", "min_p", "temperature"))
+def sample_topk_fast(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    top_k: int = 30,
+    top_p: float = 1.0,
+    min_p: float = 0.0,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Decode-loop fast path: restrict filtering + draw to the top-k logits.
+
+    Requires top_k > 0. When min_p is enabled the min-p decision still uses
+    the full-vocab softmax (cheap single pass), matching reference semantics.
+    Returns int32 [B].
+    """
+    assert top_k > 0
+    if temperature != 1.0:
+        logits = logits / temperature
+    vals, idx = jax.lax.top_k(logits, top_k)  # vals descending, [B, k]
+
+    kept = vals
+    if top_p < 1.0:
+        cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+        remove = cum > top_p
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
+        )
+        kept = jnp.where(remove, NEG_INF, vals)
+
+    if 0.0 < min_p < 1.0:
+        # probabilities w.r.t. the full vocab, evaluated at the top-k entries
+        lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        probs_full = jnp.exp(logits - lse)
+        remove_full = probs_full < min_p
+        active = jnp.all(remove_full.sum(-1) < logits.shape[-1])
+        probs_topk = jnp.exp(vals - lse)
+        minp_kept = jnp.where(probs_topk < min_p, NEG_INF, vals)
+        kept = jnp.where(active, minp_kept, kept)
+
+    choice = jax.random.categorical(rng, kept.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+
+
+def greedy(logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
