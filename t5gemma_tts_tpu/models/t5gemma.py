@@ -1,0 +1,386 @@
+"""Functional JAX T5Gemma encoder-decoder with PM-RoPE cross-attention.
+
+This is a from-scratch TPU-native implementation of the architecture the
+reference builds from HF transformers (reference: models/t5gemma.py loads
+``google/t5gemma-2b-2b-ul2`` and monkey-patches decoder layers with PM-RoPE
+cross-attention at models/t5gemma.py:57-243, 513-541). Here PM-RoPE is a
+first-class argument, there is no patching, and the whole stack is a pure
+function over explicit parameter pytrees:
+
+- layers are *stacked* (leading axis = layer) and driven by ``lax.scan`` so
+  the 26-layer 2B stacks trace/compile once, not 26 times;
+- GQA attention groups queries as [B, Hkv, G, T, hd] and never materializes
+  repeated K/V (saves HBM bandwidth vs torch's ``repeat_kv``);
+- attention-logit softcapping (tanh), query_pre_attn_scalar scaling, RMSNorm
+  with (1 + w) in fp32, sqrt(hidden) embedding normalizer — all matching the
+  HF T5Gemma numerics bit-for-bit in fp32 (see tests/test_t5gemma_parity.py);
+- a decode path with a pre-allocated per-layer KV cache written via
+  per-row dynamic indices, used by the jitted AR decode engine.
+
+Parameter layout (all kernels [in, out]):
+  encoder:  {embed[V,D], layers{...stacked...}, final_norm[D]}
+  decoder:  same + cross-attention params, no embed (the voice model feeds
+            audio embeddings; reference prunes decoder.embed_tokens at
+            models/t5gemma.py:309-317).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModuleDims
+from ..ops import rope as rope_ops
+
+PyTree = Any
+
+
+# ---------------------------------------------------------------------------
+# primitive blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """T5Gemma RMSNorm: fp32 compute, (1 + w) scale, cast back (HF parity)."""
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    out = normed * (1.0 + weight.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def mlp(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """GeGLU: act(x @ gate) * (x @ up) @ down."""
+    h = gelu_tanh(x @ p["gate"]) * (x @ p["up"])
+    return h @ p["down"]
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int, head_dim: int) -> jnp.ndarray:
+    b, t, _ = x.shape
+    return x.reshape(b, t, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def gqa_attention(
+    q: jnp.ndarray,  # [B, H, Tq, hd]
+    k: jnp.ndarray,  # [B, Hkv, Tk, hd]
+    v: jnp.ndarray,  # [B, Hkv, Tk, hd]
+    bias: jnp.ndarray,  # [B, 1, Tq, Tk] additive
+    scale: float,
+    softcap: Optional[float],
+) -> jnp.ndarray:
+    """Grouped-query attention with fp32 softmax; returns [B, H, Tq, hd]."""
+    b, h, tq, hd = q.shape
+    hkv = k.shape[1]
+    g = h // hkv
+    qg = q.reshape(b, hkv, g, tq, hd)
+    logits = jnp.einsum(
+        "bkgth,bksh->bkgts", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    if softcap is not None:
+        logits = jnp.tanh(logits / softcap) * softcap
+    logits = logits + bias[:, :, None].astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgts,bksh->bkgth", weights, v)
+    return out.reshape(b, h, tq, hd)
+
+
+class AttnParams(NamedTuple):
+    q: jnp.ndarray
+    k: jnp.ndarray
+    v: jnp.ndarray
+    o: jnp.ndarray
+
+
+def self_attention(
+    p: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    bias: jnp.ndarray,
+    dims: ModuleDims,
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    cache_pos: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """Self-attention with RoPE. With ``cache_kv`` ([B,Hkv,Tmax,hd] pair) and
+    per-row ``cache_pos`` [B], writes this call's K/V at each row's position
+    and attends over the whole cache (decode step/prefill)."""
+    q = _split_heads(x @ p["q"], dims.num_heads, dims.head_dim)
+    k = _split_heads(x @ p["k"], dims.num_kv_heads, dims.head_dim)
+    v = _split_heads(x @ p["v"], dims.num_kv_heads, dims.head_dim)
+    q = rope_ops.apply_rope(q, cos, sin)
+    k = rope_ops.apply_rope(k, cos, sin)
+
+    new_cache = None
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        if cache_pos is None:
+            # prefill: write the first T slots for every row
+            t = k.shape[2]
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        else:
+            # step: write this token at each row's own position
+            def write(c, kv, pos):
+                return jax.lax.dynamic_update_slice(c, kv.astype(c.dtype), (0, pos, 0))
+
+            ck = jax.vmap(write)(ck, k, cache_pos)
+            cv = jax.vmap(write)(cv, v, cache_pos)
+        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+        new_cache = (ck, cv)
+
+    out = gqa_attention(q, k, v, bias, dims.q_scale, dims.attn_logit_softcap)
+    return _merge_heads(out) @ p["o"], new_cache
+
+
+def cross_attention(
+    p: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
+    bias: jnp.ndarray,
+    dims: ModuleDims,
+    q_cos: Optional[jnp.ndarray] = None,
+    q_sin: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """PM-RoPE cross-attention. K/V are precomputed once per utterance from
+    encoder memory (reference: models/t5gemma.py:117-149 caches cross K/V);
+    the decoder query gets rotary with *progress* positions when q_cos/q_sin
+    are given (reference: models/t5gemma.py:109-115)."""
+    q = _split_heads(x @ p["q"], dims.num_heads, dims.head_dim)
+    if q_cos is not None:
+        q = rope_ops.apply_rope(q, q_cos, q_sin)
+    k, v = kv_cache
+    out = gqa_attention(q, k.astype(x.dtype), v.astype(x.dtype), bias,
+                        dims.q_scale, dims.attn_logit_softcap)
+    return _merge_heads(out) @ p["o"]
+
+
+def cross_kv(
+    p: Dict[str, jnp.ndarray],
+    memory: jnp.ndarray,
+    dims: ModuleDims,
+    k_cos: Optional[jnp.ndarray] = None,
+    k_sin: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Project encoder memory to cross K/V; encoder keys get PM rotary
+    (reference: models/t5gemma.py:124-135)."""
+    k = _split_heads(memory @ p["k"], dims.num_kv_heads, dims.head_dim)
+    v = _split_heads(memory @ p["v"], dims.num_kv_heads, dims.head_dim)
+    if k_cos is not None:
+        k = rope_ops.apply_rope(k, k_cos, k_sin)
+    return k, v
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(rng, shape, dtype, std=0.02):
+    return (jax.random.normal(rng, shape, jnp.float32) * std).astype(dtype)
+
+
+def init_stack(rng: jax.Array, dims: ModuleDims, *, is_decoder: bool,
+               with_embed: bool, dtype=jnp.bfloat16,
+               cross_hidden: Optional[int] = None) -> PyTree:
+    """Random-init parameters for one stack, layer-stacked along axis 0."""
+    d, f = dims.hidden_size, dims.intermediate_size
+    qh = dims.num_heads * dims.head_dim
+    kh = dims.num_kv_heads * dims.head_dim
+    ch = cross_hidden or d
+    n = dims.num_layers
+    keys = iter(jax.random.split(rng, 32))
+
+    def lin(shape):
+        return _linear_init(next(keys), (n, *shape), dtype)
+
+    layers: Dict[str, Any] = {
+        "pre_self_attn_norm": jnp.zeros((n, d), dtype),
+        "post_self_attn_norm": jnp.zeros((n, d), dtype),
+        "pre_ff_norm": jnp.zeros((n, d), dtype),
+        "post_ff_norm": jnp.zeros((n, d), dtype),
+        "self_attn": {"q": lin((d, qh)), "k": lin((d, kh)),
+                      "v": lin((d, kh)), "o": lin((qh, d))},
+        "mlp": {"gate": lin((d, f)), "up": lin((d, f)), "down": lin((f, d))},
+    }
+    if is_decoder:
+        layers["pre_cross_attn_norm"] = jnp.zeros((n, d), dtype)
+        layers["post_cross_attn_norm"] = jnp.zeros((n, d), dtype)
+        layers["cross_attn"] = {"q": lin((d, qh)), "k": lin((ch, kh)),
+                                "v": lin((ch, kh)), "o": lin((qh, d))}
+    params: Dict[str, Any] = {"layers": layers, "final_norm": jnp.zeros((d,), dtype)}
+    if with_embed:
+        params["embed"] = _linear_init(next(keys), (dims.vocab_size, d), dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def encoder_forward(
+    params: PyTree,
+    dims: ModuleDims,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    full_bias: jnp.ndarray,
+    sliding_bias: jnp.ndarray,
+    position_ids: jnp.ndarray,  # float32 [B, T] (PM or integer grid)
+) -> jnp.ndarray:
+    """Bidirectional encoder; returns last hidden state [B, T, D]."""
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embed"], input_ids, axis=0)
+    h = inputs_embeds * jnp.asarray(
+        dims.hidden_size ** 0.5, dtype=inputs_embeds.dtype
+    )
+    cos, sin = rope_ops.rope_cos_sin(position_ids, dims.head_dim, dims.rope_theta)
+    sliding_flags = jnp.asarray(dims.sliding_flags)
+
+    def body(h, xs):
+        lp, is_sliding = xs
+        bias = jnp.where(is_sliding, sliding_bias, full_bias)
+        r = h
+        hn = rms_norm(h, lp["pre_self_attn_norm"], dims.rms_norm_eps)
+        a, _ = self_attention(lp["self_attn"], hn, cos, sin, bias, dims)
+        h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
+        r = h
+        hn = rms_norm(h, lp["pre_ff_norm"], dims.rms_norm_eps)
+        h = r + rms_norm(mlp(lp["mlp"], hn), lp["post_ff_norm"], dims.rms_norm_eps)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, (params["layers"], sliding_flags))
+    return rms_norm(h, params["final_norm"], dims.rms_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class DecoderCache(NamedTuple):
+    """Pre-allocated KV cache. self_* are [L, B, Hkv, Tmax, hd]; cross_* are
+    [L, B, Hkv, Tenc, hd] computed once at prefill."""
+
+    self_k: jnp.ndarray
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray
+    cross_v: jnp.ndarray
+
+
+def init_cache(dims: ModuleDims, batch: int, max_len: int, enc_len: int,
+               dtype=jnp.bfloat16) -> DecoderCache:
+    shape_self = (dims.num_layers, batch, dims.num_kv_heads, max_len, dims.head_dim)
+    shape_cross = (dims.num_layers, batch, dims.num_kv_heads, enc_len, dims.head_dim)
+    return DecoderCache(
+        self_k=jnp.zeros(shape_self, dtype),
+        self_v=jnp.zeros(shape_self, dtype),
+        cross_k=jnp.zeros(shape_cross, dtype),
+        cross_v=jnp.zeros(shape_cross, dtype),
+    )
+
+
+def build_cross_kv(
+    params: PyTree,
+    dims: ModuleDims,
+    memory: jnp.ndarray,
+    pm_encoder_positions: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute all layers' cross K/V from encoder memory (once per utterance)."""
+    if pm_encoder_positions is not None:
+        k_cos, k_sin = rope_ops.rope_cos_sin(
+            pm_encoder_positions, dims.head_dim, dims.rope_theta
+        )
+    else:
+        k_cos = k_sin = None
+
+    def per_layer(cp):
+        return cross_kv(cp, memory, dims, k_cos, k_sin)
+
+    ks, vs = jax.lax.map(per_layer, params["layers"]["cross_attn"])
+    return ks, vs  # [L, B, Hkv, Tenc, hd]
+
+
+def decoder_forward(
+    params: PyTree,
+    dims: ModuleDims,
+    *,
+    inputs_embeds: jnp.ndarray,  # [B, T, D] (audio embeddings)
+    self_full_bias: jnp.ndarray,  # [B, 1, T, Tk]
+    self_sliding_bias: jnp.ndarray,
+    cross_bias: jnp.ndarray,  # [B, 1, T, Tenc]
+    position_ids: jnp.ndarray,  # float32 [B, T] — self-attn rope positions
+    pm_decoder_positions: Optional[jnp.ndarray],  # float32 [B, T] or None
+    cross_k: jnp.ndarray,  # [L, B, Hkv, Tenc, hd]
+    cross_v: jnp.ndarray,
+    cache: Optional[DecoderCache] = None,
+    cache_pos: Optional[jnp.ndarray] = None,  # [B] write index (step mode)
+) -> Tuple[jnp.ndarray, Optional[DecoderCache]]:
+    """Decoder stack. Without ``cache``: plain full-sequence training forward.
+    With ``cache``: prefill (cache_pos=None) or single-step (cache_pos=[B])."""
+    h = inputs_embeds * jnp.asarray(
+        dims.hidden_size ** 0.5, dtype=inputs_embeds.dtype
+    )
+    cos, sin = rope_ops.rope_cos_sin(position_ids, dims.head_dim, dims.rope_theta)
+    if pm_decoder_positions is not None:
+        q_cos, q_sin = rope_ops.rope_cos_sin(
+            pm_decoder_positions, dims.head_dim, dims.rope_theta
+        )
+    else:
+        q_cos = q_sin = None
+    sliding_flags = jnp.asarray(dims.sliding_flags)
+
+    use_cache = cache is not None
+    if use_cache:
+        xs = (params["layers"], sliding_flags,
+              (cache.self_k, cache.self_v), (cross_k, cross_v))
+    else:
+        xs = (params["layers"], sliding_flags, None, (cross_k, cross_v))
+
+    def body(h, xs):
+        if use_cache:
+            lp, is_sliding, (ck, cv), (xk, xv) = xs
+            layer_cache = (ck, cv)
+        else:
+            lp, is_sliding, _, (xk, xv) = xs
+            layer_cache = None
+        bias = jnp.where(is_sliding, self_sliding_bias, self_full_bias)
+
+        r = h
+        hn = rms_norm(h, lp["pre_self_attn_norm"], dims.rms_norm_eps)
+        a, new_cache = self_attention(
+            lp["self_attn"], hn, cos, sin, bias, dims,
+            cache_kv=layer_cache, cache_pos=cache_pos,
+        )
+        h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
+
+        r = h
+        hn = rms_norm(h, lp["pre_cross_attn_norm"], dims.rms_norm_eps)
+        a = cross_attention(lp["cross_attn"], hn, (xk, xv), cross_bias, dims,
+                            q_cos, q_sin)
+        h = r + rms_norm(a, lp["post_cross_attn_norm"], dims.rms_norm_eps)
+
+        r = h
+        hn = rms_norm(h, lp["pre_ff_norm"], dims.rms_norm_eps)
+        h = r + rms_norm(mlp(lp["mlp"], hn), lp["post_ff_norm"], dims.rms_norm_eps)
+        return h, new_cache
+
+    h, new_caches = jax.lax.scan(body, h, xs)
+    h = rms_norm(h, params["final_norm"], dims.rms_norm_eps)
+    if use_cache:
+        new_cache = DecoderCache(
+            self_k=new_caches[0], self_v=new_caches[1],
+            cross_k=cross_k, cross_v=cross_v,
+        )
+        return h, new_cache
+    return h, None

@@ -14,3 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # determinism + quieter logs
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+# JAX's default matmul precision is bf16-based even for f32 inputs; parity
+# tests need true fp32 accumulation. jax may already be imported at
+# interpreter startup here, so set the flag through the config API.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
