@@ -229,8 +229,8 @@ class DecodeConfig:
     seed: int = 1
 
 
-def test_voice_config(**overrides) -> VoiceConfig:
-    """Small VoiceConfig wired to the 'test' backbone preset."""
+def tiny_voice_config(**overrides) -> VoiceConfig:
+    """Tiny VoiceConfig wired to the 'test' backbone preset."""
     kw = dict(
         backbone=backbone_preset("test"),
         audio_vocab_size=128,

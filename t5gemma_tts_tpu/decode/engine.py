@@ -1,0 +1,292 @@
+"""Jit-compiled autoregressive audio-token decode engine.
+
+TPU-native replacement for the reference's Python generation loop
+(reference: models/t5gemma.py:835-1129 ``inference_tts``): one XLA program
+does text encoding, cross-KV precompute, prompt prefill into a pre-allocated
+HBM KV cache, and a ``lax.while_loop`` that per step runs the decoder on one
+token, applies the sampling guards, draws a token, and early-exits when every
+row has emitted EOG.  Differences from the reference by design:
+
+- **batched**: every piece of loop state (prev token, silence counter,
+  current length, done flag) is a [B] vector; the reference asserts
+  batch_size == 1 (models/t5gemma.py:865);
+- **no host round-trips**: the reference calls ``int(token.item())`` per step
+  (models/t5gemma.py:1020); here the whole loop is traced, so the only
+  host<->device traffic is the final token buffer;
+- **static shapes**: text length, prompt length and the generation buffer are
+  bucketed; ``est_total``/budgets are dynamic per-row scalars.
+
+Stop-rule semantics are carried over exactly (same guard order and values,
+reference models/t5gemma.py:971-1055):
+  1. first generated token can never be EOG (-1e9), tokens 0..sr//5 suppress
+     EOG at -10000;
+  2. consecutive-silence logit penalty (multiply/divide by the overshoot);
+  3. forced stop when the sampled token or the argmax of the *adjusted*
+     logits is EOG;
+  4. text-guard token budget and target-duration budget
+     (``target_total - prompt_offset + sr * extra_cutoff``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DecodeConfig, VoiceConfig
+from ..models import t5gemma, voice
+from ..ops import masks as mask_ops
+from ..ops import rope as rope_ops
+from ..ops import sampling
+
+PyTree = Any
+
+
+class DecodeOutputs(NamedTuple):
+    tokens: jnp.ndarray     # [B, max_steps] generated tokens (incl. final EOG)
+    gen_lens: jnp.ndarray   # [B] number of generated tokens incl. EOG
+    steps: jnp.ndarray      # scalar: loop iterations executed
+
+
+class _LoopState(NamedTuple):
+    cache: t5gemma.DecoderCache
+    last_hidden: jnp.ndarray       # [B, 1, D]
+    tokens: jnp.ndarray            # [B, max_steps]
+    step: jnp.ndarray              # scalar int32 == cur_num_gen
+    current_length: jnp.ndarray    # [B] absolute length incl. BOS
+    prev_token: jnp.ndarray        # [B]
+    consec_silence: jnp.ndarray    # [B]
+    done: jnp.ndarray              # [B] bool
+    gen_lens: jnp.ndarray          # [B]
+
+
+def _adjust_logits(
+    cfg: VoiceConfig,
+    dcfg: DecodeConfig,
+    logits: jnp.ndarray,          # [B, Va] float32
+    step: jnp.ndarray,            # scalar
+    prev_token: jnp.ndarray,      # [B]
+    consec_silence: jnp.ndarray,  # [B]
+) -> jnp.ndarray:
+    """EOG suppression + silence-repetition penalty on raw logits
+    (pre-temperature), exactly as reference models/t5gemma.py:986-1011."""
+    eog = cfg.eog_inference
+    b = logits.shape[0]
+    eog_col = logits[:, eog]
+    # step == 0: hard suppression; step <= sr//5: soft suppression
+    eog_col = jnp.where(step <= int(cfg.encodec_sr) // 5, -10000.0, eog_col)
+    eog_col = jnp.where(step == 0, -1e9, eog_col)
+    logits = logits.at[:, eog].set(eog_col)
+
+    if dcfg.stop_repetition > 0 and dcfg.silence_tokens:
+        silence = jnp.asarray(dcfg.silence_tokens)
+        is_silence = jnp.any(prev_token[:, None] == silence[None, :], axis=1)
+        active = is_silence & (consec_silence > dcfg.stop_repetition)
+        factor = (consec_silence - (dcfg.stop_repetition - 1)).astype(jnp.float32)
+        prev_logit = jnp.take_along_axis(logits, prev_token[:, None], axis=1)[:, 0]
+        penalized = jnp.where(prev_logit < 0, prev_logit * factor,
+                              prev_logit / jnp.maximum(factor, 1.0))
+        new_prev = jnp.where(active, penalized, prev_logit)
+        logits = logits.at[jnp.arange(b), prev_token].set(new_prev)
+    return logits
+
+
+def decode_tokens(
+    params: PyTree,
+    cfg: VoiceConfig,
+    dcfg: DecodeConfig,
+    x: jnp.ndarray,             # [B, Tx] text ids (prefix + x_sep + target...)
+    x_lens: jnp.ndarray,        # [B]
+    prompt: jnp.ndarray,        # [B, P] codec prompt tokens (incl. y_sep), pad-filled
+    prompt_lens: jnp.ndarray,   # [B] frames in each prompt (0 = no reference)
+    target_totals: jnp.ndarray, # [B] tgt_y_lens: prompt + sr * target_secs
+    rng: jax.Array,
+) -> DecodeOutputs:
+    """Full batched synthesis of audio tokens. Pure function of its inputs;
+    wrap with :func:`jitted_decoder` for the compiled/bucketed entry point."""
+    s = cfg.special
+    eog = cfg.eog_inference
+    dims = cfg.backbone.decoder
+    b, p_max = prompt.shape
+    max_steps = dcfg.max_frames
+    t_max = p_max + 1 + max_steps  # BOS + prompt + generation buffer
+    compute_dtype = jnp.dtype(cfg.dtype)
+
+    # ---- encode text ------------------------------------------------------
+    memory, enc_pos = voice.encode_text(params, cfg, x, x_lens)
+    pm_enc = enc_pos if cfg.use_pm_rope else None
+    cross_k, cross_v = t5gemma.build_cross_kv(params["decoder"], dims, memory, pm_enc)
+
+    # ---- prompt prep ------------------------------------------------------
+    bos = jnp.full((b, 1), s.empty, prompt.dtype)
+    cated = jnp.concatenate([bos, prompt], axis=1)          # [B, P+1]
+    cated_lens = prompt_lens + 1
+    prompt_offset = prompt_lens + 1                          # reference :921
+
+    # est_total per row (reference :925-933): target_total + 1, >= current len
+    est_total = jnp.maximum(target_totals + 1, cated_lens)
+
+    # PM positions for prefill (reference :945-948): arange/(est_total-1)*scale
+    base = jnp.arange(p_max + 1, dtype=jnp.float32)[None, :]
+    denom = jnp.maximum(1, est_total - 1).astype(jnp.float32)[:, None]
+    prefill_pos = base / denom * cfg.progress_scale
+
+    embedded = voice.embed_audio(params, cated).astype(compute_dtype)
+
+    cache = t5gemma.init_cache(dims, b, t_max, x.shape[1], dtype=compute_dtype)
+    # prefill biases: causal over the cache key-extent (junk slots beyond each
+    # row's prompt are overwritten before they ever become attendable)
+    q_idx = jnp.arange(p_max + 1)[:, None]
+    k_idx = jnp.arange(t_max)[None, :]
+    causal = (k_idx <= q_idx)[None, None]
+    full_bias = jnp.where(causal, 0.0, mask_ops.NEG_INF).astype(jnp.float32)
+    slid = causal & (q_idx - dims.sliding_window < k_idx)[None, None]
+    sliding_bias = jnp.where(slid, 0.0, mask_ops.NEG_INF).astype(jnp.float32)
+    full_bias = jnp.broadcast_to(full_bias, (b, 1, p_max + 1, t_max))
+    sliding_bias = jnp.broadcast_to(sliding_bias, (b, 1, p_max + 1, t_max))
+
+    hidden, cache = t5gemma.decoder_forward(
+        params["decoder"], dims,
+        inputs_embeds=embedded,
+        self_full_bias=full_bias,
+        self_sliding_bias=sliding_bias,
+        cross_bias=mask_ops.cross_bias(x_lens, p_max + 1, x.shape[1]),
+        position_ids=prefill_pos,
+        pm_decoder_positions=prefill_pos if cfg.use_pm_rope else None,
+        cross_k=cross_k, cross_v=cross_v,
+        cache=cache,
+    )
+    # last valid hidden per row: index cated_lens - 1
+    last_hidden = jnp.take_along_axis(
+        hidden, (cated_lens - 1)[:, None, None], axis=1
+    )  # [B, 1, D]
+
+    # ---- budgets (static config, dynamic per-row values) ------------------
+    sr = int(cfg.encodec_sr)
+    time_budget = target_totals - prompt_offset + jnp.int32(sr * cfg.extra_cutoff)
+    if cfg.text_guard_frames_per_token > 0:
+        text_budget = jnp.maximum(1, x_lens) * cfg.text_guard_frames_per_token
+    else:
+        text_budget = jnp.full_like(x_lens, jnp.iinfo(jnp.int32).max // 2)
+
+    cross_bias_step = mask_ops.cross_bias(x_lens, 1, x.shape[1])
+
+    state = _LoopState(
+        cache=cache,
+        last_hidden=last_hidden,
+        tokens=jnp.full((b, max_steps), s.pad, jnp.int32),
+        step=jnp.int32(0),
+        current_length=cated_lens.astype(jnp.int32),
+        prev_token=jnp.full((b,), -1, jnp.int32),
+        consec_silence=jnp.zeros((b,), jnp.int32),
+        done=jnp.zeros((b,), bool),
+        gen_lens=jnp.zeros((b,), jnp.int32),
+    )
+
+    silence = jnp.asarray(dcfg.silence_tokens, jnp.int32) if dcfg.silence_tokens \
+        else None
+
+    def cond(st: _LoopState):
+        return (st.step < max_steps) & ~jnp.all(st.done)
+
+    def body(st: _LoopState) -> _LoopState:
+        logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
+        logits = logits.astype(jnp.float32)
+        adjusted = _adjust_logits(cfg, dcfg, logits, st.step,
+                                  st.prev_token, st.consec_silence)
+
+        step_rng = jax.random.fold_in(rng, st.step)
+        if dcfg.top_k and dcfg.top_k > 0:
+            token = sampling.sample_topk_fast(
+                step_rng, adjusted, top_k=dcfg.top_k, top_p=dcfg.top_p,
+                min_p=dcfg.min_p, temperature=dcfg.temperature,
+            )
+        else:
+            token = sampling.sample(
+                step_rng, adjusted, top_k=dcfg.top_k, top_p=dcfg.top_p,
+                min_p=dcfg.min_p, temperature=dcfg.temperature,
+            )
+        token = token.astype(jnp.int32)
+
+        force = (token == eog) | (sampling.greedy(adjusted) == eog)
+        force = force | (st.step > text_budget) | (st.step > time_budget)
+        force = force | (st.step >= max_steps - 1)  # buffer exhaustion
+        token = jnp.where(force, eog, token)
+
+        newly_active = ~st.done
+        write_tok = jnp.where(newly_active, token, s.pad)
+        tokens = st.tokens.at[:, st.step].set(write_tok)
+        now_done = st.done | (newly_active & (token == eog))
+        gen_lens = jnp.where(
+            newly_active & (token == eog), st.step + 1, st.gen_lens
+        )
+
+        if silence is not None:
+            is_sil = jnp.any(token[:, None] == silence[None, :], axis=1)
+            consec = jnp.where(is_sil & (token == st.prev_token),
+                               st.consec_silence + 1, 0)
+        else:
+            consec = jnp.zeros_like(st.consec_silence)
+        prev_token = token
+
+        # ---- decoder step for still-active rows (computed for all) --------
+        emb = voice.embed_audio(params, token[:, None]).astype(compute_dtype)
+        pos = rope_ops.decode_step_position(
+            st.current_length, est_total, cfg.progress_scale
+        )[:, None]  # [B, 1]
+        step_full = mask_ops.step_self_bias(st.current_length, t_max, window=None)
+        step_slid = mask_ops.step_self_bias(
+            st.current_length, t_max, window=dims.sliding_window
+        )
+        hidden, cache = t5gemma.decoder_forward(
+            params["decoder"], dims,
+            inputs_embeds=emb,
+            self_full_bias=step_full,
+            self_sliding_bias=step_slid,
+            cross_bias=cross_bias_step,
+            position_ids=pos,
+            pm_decoder_positions=pos if cfg.use_pm_rope else None,
+            cross_k=cross_k, cross_v=cross_v,
+            cache=st.cache,
+            cache_pos=st.current_length,
+        )
+        current_length = jnp.where(now_done, st.current_length,
+                                   st.current_length + 1)
+        return _LoopState(
+            cache=cache,
+            last_hidden=hidden,
+            tokens=tokens,
+            step=st.step + 1,
+            current_length=current_length,
+            prev_token=prev_token,
+            consec_silence=consec,
+            done=now_done,
+            gen_lens=gen_lens,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    gen_lens = jnp.where(final.done, final.gen_lens, final.step)
+    return DecodeOutputs(tokens=final.tokens, gen_lens=gen_lens,
+                         steps=final.step)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled(cfg: VoiceConfig, dcfg: DecodeConfig):
+    return jax.jit(
+        functools.partial(decode_tokens, cfg=cfg, dcfg=dcfg),
+        static_argnames=(),
+    )
+
+
+def jitted_decoder(cfg: VoiceConfig, dcfg: DecodeConfig):
+    """Compiled entry point; recompiles only on new (config, shape) buckets."""
+    fn = _compiled(cfg, dcfg)
+
+    def run(params, x, x_lens, prompt, prompt_lens, target_totals, rng):
+        return fn(params, x=x, x_lens=x_lens, prompt=prompt,
+                  prompt_lens=prompt_lens, target_totals=target_totals,
+                  rng=rng)
+
+    return run

@@ -77,13 +77,12 @@ def cross_bias(enc_lengths: jnp.ndarray, tq: int, tk: int, dtype=jnp.float32):
     )
 
 
-def step_self_bias(positions: jnp.ndarray, q_pos: jnp.ndarray, t_max: int,
+def step_self_bias(q_pos: jnp.ndarray, t_max: int,
                    window: int | None = None, dtype=jnp.float32):
     """Single-step decode bias over a preallocated KV cache.
 
-    positions: static key grid [t_max]; q_pos: [B] current absolute position.
-    Allowed keys: k <= q (causal over everything written so far) and, when
-    ``window`` is set, q - window < k.
+    q_pos: [B] current absolute position. Allowed keys: k <= q (causal over
+    everything written so far) and, when ``window`` is set, q - window < k.
     Returns [B, 1, 1, t_max].
     """
     k = jnp.arange(t_max)[None, :]

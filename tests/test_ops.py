@@ -56,7 +56,7 @@ def test_sliding_biases():
 
 def test_step_self_bias():
     pos = jnp.array([2, 5])
-    b = np.asarray(masks.step_self_bias(pos, pos, 8, window=3))
+    b = np.asarray(masks.step_self_bias(pos, 8, window=3))
     assert b.shape == (2, 1, 1, 8)
     row0 = b[0, 0, 0] == 0.0
     # q=2, window=3: keys {0,1,2}

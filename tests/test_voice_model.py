@@ -5,12 +5,12 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from t5gemma_tts_tpu.config import test_voice_config
+from t5gemma_tts_tpu.config import tiny_voice_config
 from t5gemma_tts_tpu.models import voice
 
 
 def test_prepare_decoder_io():
-    cfg = test_voice_config()
+    cfg = tiny_voice_config()
     s = cfg.special
     y = jnp.asarray(np.array([[5, 6, 7, s.pad], [9, s.pad, s.pad, s.pad]], np.int32))
     y_lens = jnp.asarray(np.array([3, 1], np.int32))
@@ -31,7 +31,7 @@ def test_token_loss_matches_torch_cross_entropy():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
 
-    cfg = test_voice_config(eog_weight=3.0)
+    cfg = tiny_voice_config(eog_weight=3.0)
     s = cfg.special
     va = cfg.audio_embedding_vocab
     rng = np.random.default_rng(0)
@@ -70,7 +70,7 @@ def test_token_loss_matches_torch_cross_entropy():
 
 
 def test_forward_smoke_and_grads():
-    cfg = test_voice_config()
+    cfg = tiny_voice_config()
     params = voice.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(1)
     b, tx, ty = 2, 6, 10
@@ -95,7 +95,7 @@ def test_forward_smoke_and_grads():
 
 def test_forward_padding_invariance():
     """Extra padding must not change the loss (fixed-shape bucketing safety)."""
-    cfg = test_voice_config()
+    cfg = tiny_voice_config()
     params = voice.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(2)
     b, tx, ty = 1, 5, 8
