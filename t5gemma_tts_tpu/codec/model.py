@@ -25,6 +25,10 @@ import jax.numpy as jnp
 
 from .fsq import FSQConfig
 from .vocos import VocosConfig
+from .semantic import ConformerConfig, tiny_conformer_config
+from .encoder import (
+    AcousticEncoderConfig, SemanticEncoderConfig, tiny_encoder_configs,
+)
 from . import fsq as fsq_mod
 from . import vocos as vocos_mod
 
@@ -35,6 +39,11 @@ PyTree = Any
 class XCodec2Config:
     fsq: FSQConfig = field(default_factory=FSQConfig)
     vocos: VocosConfig = field(default_factory=VocosConfig)
+    acoustic_cfg: AcousticEncoderConfig = field(
+        default_factory=AcousticEncoderConfig)
+    semantic_cfg: SemanticEncoderConfig = field(
+        default_factory=SemanticEncoderConfig)
+    conformer_cfg: ConformerConfig = field(default_factory=ConformerConfig)
     sample_rate: int = 44100        # output (Anime-XCodec2-44.1kHz)
     encode_sample_rate: int = 16000  # codec encoders consume 16 kHz
     frame_rate: int = 50
@@ -49,10 +58,14 @@ class XCodec2Config:
 
 def tiny_codec_config() -> XCodec2Config:
     """Toy sizes, real structure — for tests."""
+    acfg, scfg, ccfg = tiny_encoder_configs()
     return XCodec2Config(
         fsq=FSQConfig(levels=(4, 4, 4), dim=32),
         vocos=VocosConfig(input_dim=16, dim=24, intermediate_dim=48,
                           num_layers=2, n_fft=32, hop_length=10),
+        acoustic_cfg=acfg,
+        semantic_cfg=scfg,
+        conformer_cfg=ccfg,
         semantic_dim=16,
         acoustic_dim=16,
         fused_dim=32,
@@ -100,6 +113,16 @@ def jitted_decode_code(params: PyTree, cfg: XCodec2Config):
 # ---------------------------------------------------------------------------
 # encoder path (semantic + acoustic -> codes); modules in encoder.py
 # ---------------------------------------------------------------------------
+
+
+def init_encoder_params_for(rng: jax.Array, cfg: XCodec2Config,
+                            dtype=jnp.float32) -> PyTree:
+    from . import encoder as enc_mod
+
+    return enc_mod.init_encoder_params(
+        rng, cfg.acoustic_cfg, cfg.semantic_cfg, cfg.conformer_cfg,
+        cfg.fused_dim, dtype,
+    )
 
 
 def encode_waveform(params: PyTree, cfg: XCodec2Config,

@@ -1,0 +1,107 @@
+"""Encode-side codec tests: mel frontend vs HF oracle, conformer parity vs
+torch Wav2Vec2Bert, full encode smoke."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from t5gemma_tts_tpu.codec import encoder as enc_mod
+from t5gemma_tts_tpu.codec import features as feat_mod
+from t5gemma_tts_tpu.codec import semantic as sem_mod
+from t5gemma_tts_tpu.codec.model import (
+    encode_waveform, init_decoder_params, init_encoder_params_for,
+    tiny_codec_config,
+)
+
+
+def test_log_mel_matches_hf_feature_extractor():
+    transformers = pytest.importorskip("transformers")
+    from transformers import SeamlessM4TFeatureExtractor
+
+    fe = SeamlessM4TFeatureExtractor()
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=16000) * 0.1).astype(np.float32)
+
+    ref = fe(wav, sampling_rate=16000, return_tensors="np")
+    ref_feats = ref["input_features"][0]  # [T, 160]
+
+    got, lens = feat_mod.extract_features(jnp.asarray(wav[None]))
+    got = np.asarray(got)[0]
+
+    t = min(got.shape[0], ref_feats.shape[0])
+    np.testing.assert_allclose(got[:t], ref_feats[:t], rtol=2e-3, atol=2e-3)
+
+
+def test_conformer_parity_with_torch_wav2vec2bert():
+    torch = pytest.importorskip("torch")
+    from transformers.models.wav2vec2_bert.configuration_wav2vec2_bert import (
+        Wav2Vec2BertConfig,
+    )
+    from transformers.models.wav2vec2_bert.modeling_wav2vec2_bert import (
+        Wav2Vec2BertModel,
+    )
+
+    ccfg = sem_mod.ConformerConfig(
+        input_dim=24, hidden_size=32, num_layers=3, num_heads=4,
+        intermediate_size=64, conv_kernel=7, left_max_pos=8, right_max_pos=3,
+    )
+    hf_cfg = Wav2Vec2BertConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=64, feature_projection_input_dim=24,
+        conv_depthwise_kernel_size=7, left_max_position_embeddings=8,
+        right_max_position_embeddings=3, position_embeddings_type="relative_key",
+        apply_spec_augment=False, layerdrop=0.0,
+        num_adapter_layers=0, add_adapter=False,
+    )
+    torch.manual_seed(0)
+    model = Wav2Vec2BertModel(hf_cfg)
+    model.eval()
+
+    # convert weights
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    from t5gemma_tts_tpu.codec.convert import w2vbert_state_dict_to_params
+
+    params = w2vbert_state_dict_to_params(sd, ccfg)
+
+    rng = np.random.default_rng(1)
+    b, t = 2, 9
+    feats = rng.normal(size=(b, t, 24)).astype(np.float32)
+    lens = np.array([9, 6], np.int32)
+    attn = (np.arange(t)[None] < lens[:, None]).astype(np.int64)
+
+    with torch.no_grad():
+        ref = model(
+            input_features=torch.tensor(feats),
+            attention_mask=torch.tensor(attn),
+            output_hidden_states=True,
+        ).hidden_states[3].numpy()  # after all 3 layers
+
+    got = np.asarray(
+        sem_mod.forward(params, ccfg, jnp.asarray(feats), jnp.asarray(lens))
+    )
+    valid = np.arange(t)[None] < lens[:, None]
+    np.testing.assert_allclose(got[valid], ref[valid], rtol=3e-4, atol=3e-4)
+
+
+def test_acoustic_encoder_shapes():
+    acfg, _, _ = enc_mod.tiny_encoder_configs()
+    params = enc_mod.init_acoustic_params(jax.random.PRNGKey(0), acfg)
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64)).astype(np.float32))
+    out = enc_mod.acoustic_forward(params, acfg, wav)
+    assert out.shape == (2, 64 // 4, acfg.out_dim)  # ratios (2, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_full_encode_smoke():
+    cfg = tiny_codec_config()
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    params.update(init_encoder_params_for(jax.random.PRNGKey(1), cfg))
+    # 0.5 s of fake 16 kHz audio -> mel framing needs >= 400 samples
+    wav = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 8000)).astype(np.float32) * 0.1
+    )
+    codes = encode_waveform(params, cfg, wav)
+    assert codes.ndim == 2 and codes.shape[0] == 1
+    assert int(codes.max()) < cfg.fsq.codebook_size
+    assert int(codes.min()) >= 0
