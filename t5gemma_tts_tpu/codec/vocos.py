@@ -184,7 +184,7 @@ def head(params: Dict, x: jnp.ndarray, cfg: VocosConfig) -> jnp.ndarray:
     """Backbone features [B, T, dim] -> waveform [B, T*hop]."""
     h = x @ params["head"]["w"] + params["head"]["b"]  # [B, T, n_fft+2]
     half = cfg.n_fft // 2 + 1
-    mag = jnp.exp(jnp.clip(h[..., :half].astype(jnp.float32), a_max=100.0))
+    mag = jnp.exp(jnp.clip(h[..., :half].astype(jnp.float32), max=100.0))
     phase = h[..., half:].astype(jnp.float32)
     return istft_same(mag * jnp.cos(phase), mag * jnp.sin(phase), cfg)
 

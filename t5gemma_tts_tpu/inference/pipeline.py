@@ -1,0 +1,236 @@
+"""End-to-end TTS inference pipeline (text [+ reference audio] -> waveform).
+
+Functional equivalent of the reference ``inference_one_sample``
+(reference: inference_tts_utils.py:141-378): reference-audio tokenization,
+``repeat_prompt`` (int or "max"), y_sep/x_sep assembly, target-length
+computation (prompt + codec_sr * target_secs), jitted decode, sep/eos
+stripping, codec decode, and tokens-per-second / RTF reporting.
+
+TPU-first differences:
+- shapes are bucketed (text, prompt, generation buffer) so repeated calls
+  reuse compiled programs;
+- ``synthesize_batch`` decodes many utterances in one compiled program —
+  the reference is restricted to batch 1.
+"""
+
+from __future__ import annotations
+
+import bisect
+import dataclasses
+import logging
+import time
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import numpy as np
+
+from ..codec.audio_tokenizer import AudioTokenizer, tokenize_audio
+from ..config import DecodeConfig, VoiceConfig
+from ..decode import engine
+from .textnorm import normalize_text_with_lang
+
+log = logging.getLogger(__name__)
+
+TEXT_BUCKETS = [32, 64, 128, 256, 512, 1024]
+PROMPT_BUCKETS = [64, 128, 256, 512, 1024, 2048]
+FRAME_BUCKETS = [256, 512, 1024, 2048, 4096, 8192]
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    i = bisect.bisect_left(buckets, max(n, 1))
+    return buckets[min(i, len(buckets) - 1)] if n <= buckets[-1] else n
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    wav: np.ndarray                 # generated waveform [S]
+    concat_wav: Optional[np.ndarray]  # prompt+generated decode (cloning)
+    gen_frames: np.ndarray          # stripped generated codec tokens
+    concat_frames: np.ndarray
+    tokens_per_sec: float
+    rtf: float                      # audio-seconds per wall-second
+    inference_time: float
+
+
+@dataclasses.dataclass
+class Request:
+    target_text: str
+    lang: Optional[str] = None
+    audio_path: Optional[str] = None
+    prompt_transcript: Optional[str] = None
+    target_duration: Optional[float] = None  # seconds
+    repeat_prompt: Union[int, str] = 0
+    prompt_end_frame: int = -1
+
+
+class TTSPipeline:
+    def __init__(
+        self,
+        params,
+        cfg: VoiceConfig,
+        text_tokenizer: Callable[[str], List[int]],
+        audio_tokenizer: Optional[AudioTokenizer] = None,
+        audio_max_length: float = 120.0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.encode_text = text_tokenizer
+        self.audio_tokenizer = audio_tokenizer
+        self.audio_max_length = audio_max_length
+
+    # ------------------------------------------------------------------
+    # assembly (reference inference_tts_utils.py:182-286)
+    # ------------------------------------------------------------------
+
+    def _prompt_tokens(self, req: Request, codec_sr: int,
+                       target_secs: float) -> List[int]:
+        s = self.cfg.special
+        if not req.audio_path or str(req.audio_path).lower() in {"", "none", "null"}:
+            return []
+        assert self.audio_tokenizer is not None, "audio tokenizer required for cloning"
+        frames = tokenize_audio(
+            self.audio_tokenizer, req.audio_path,
+            num_frames=req.prompt_end_frame if req.prompt_end_frame > 0 else -1,
+        )  # [1, T, 1]
+        base = frames[0, :, 0].tolist()
+        tokens = list(base)
+        if isinstance(req.repeat_prompt, int) and req.repeat_prompt > 0:
+            tokens = tokens + base * req.repeat_prompt
+        elif isinstance(req.repeat_prompt, str) and req.repeat_prompt.lower() == "max":
+            while (len(tokens) + codec_sr * target_secs + len(base)
+                   < self.audio_max_length * codec_sr):
+                tokens += base
+        if tokens:
+            tokens.append(s.y_sep)
+        return tokens
+
+    def _text_tokens(self, req: Request) -> Tuple[List[int], str]:
+        target_text, lang = normalize_text_with_lang(req.target_text, req.lang)
+        prefix = req.prompt_transcript
+        if prefix:
+            prefix, _ = normalize_text_with_lang(prefix, lang)
+        tokens = list(self.encode_text(target_text.strip()))
+        if prefix:
+            ptoks = list(self.encode_text(prefix.strip()))
+            if self.cfg.x_sep_token is not None:
+                tokens = ptoks + [self.cfg.x_sep_token] + tokens
+            else:
+                tokens = ptoks + tokens
+        if self.cfg.add_eos_to_text:
+            tokens.append(self.cfg.add_eos_to_text)
+        if self.cfg.add_bos_to_text:
+            tokens = [self.cfg.add_bos_to_text] + tokens
+        return tokens, lang or "en"
+
+    # ------------------------------------------------------------------
+    # synthesis
+    # ------------------------------------------------------------------
+
+    def synthesize_batch(
+        self,
+        requests: Sequence[Request],
+        dcfg: Optional[DecodeConfig] = None,
+        seed: Optional[int] = None,
+        quiet: bool = False,
+        decode_audio: bool = True,
+    ) -> List[SynthesisResult]:
+        """Batched synthesis: all requests decode in ONE compiled program."""
+        from .duration import estimate_duration
+
+        dcfg = dcfg or DecodeConfig()
+        cfg = self.cfg
+        s = cfg.special
+        sr = int(cfg.encodec_sr)
+
+        texts, prompts, targets = [], [], []
+        for req in requests:
+            target_secs = req.target_duration
+            if target_secs is None:
+                target_secs = estimate_duration(
+                    req.target_text, req.audio_path, req.prompt_transcript,
+                    req.lang,
+                )
+            prompt = self._prompt_tokens(req, sr, target_secs)
+            text, _ = self._text_tokens(req)
+            texts.append(text)
+            prompts.append(prompt)
+            targets.append(len(prompt) + int(sr * target_secs))
+
+        b = len(requests)
+        tx = _bucket(max(len(t) for t in texts), TEXT_BUCKETS)
+        p_max = _bucket(max((len(p) for p in prompts), default=1), PROMPT_BUCKETS)
+        need_frames = max(
+            tt - len(p) + int(sr * cfg.extra_cutoff) + 8
+            for tt, p in zip(targets, prompts)
+        )
+        max_frames = _bucket(need_frames, FRAME_BUCKETS)
+
+        x = np.zeros((b, tx), np.int32)
+        x_lens = np.zeros((b,), np.int32)
+        prm = np.full((b, p_max), s.pad, np.int32)
+        prm_lens = np.zeros((b,), np.int32)
+        for i, (t, p) in enumerate(zip(texts, prompts)):
+            t = t[:tx]
+            x[i, : len(t)] = t
+            x_lens[i] = len(t)
+            p = p[:p_max]
+            prm[i, : len(p)] = p
+            prm_lens[i] = len(p)
+
+        run = engine.jitted_decoder(
+            cfg, dataclasses.replace(dcfg, max_frames=max_frames)
+        )
+        rng = jax.random.PRNGKey(dcfg.seed if seed is None else seed)
+
+        stime = time.time()
+        out = run(
+            self.params,
+            jax.numpy.asarray(x), jax.numpy.asarray(x_lens),
+            jax.numpy.asarray(prm), jax.numpy.asarray(prm_lens),
+            jax.numpy.asarray(np.asarray(targets, np.int32)),
+            rng,
+        )
+        tokens = np.asarray(out.tokens)
+        gen_lens = np.asarray(out.gen_lens)
+        elapsed = time.time() - stime
+
+        results: List[SynthesisResult] = []
+        strip = {s.y_sep, cfg.eog_inference}
+        total_tokens = int(gen_lens.sum())
+        for i in range(b):
+            gen = tokens[i, : gen_lens[i]]
+            gen = gen[~np.isin(gen, list(strip))]
+            concat = np.concatenate([
+                np.asarray([t for t in prompts[i] if t not in strip], np.int64),
+                gen,
+            ])
+            per_utt_time = elapsed / b
+            audio_secs = len(gen) / sr
+            wav = concat_wav = None
+            if decode_audio and self.audio_tokenizer is not None and len(gen):
+                wav = self.audio_tokenizer.decode(gen[None, None, :])[0, 0]
+                if len(concat) > len(gen):
+                    concat_wav = self.audio_tokenizer.decode(
+                        concat[None, None, :]
+                    )[0, 0]
+            results.append(SynthesisResult(
+                wav=wav,
+                concat_wav=concat_wav if concat_wav is not None else wav,
+                gen_frames=gen,
+                concat_frames=concat,
+                tokens_per_sec=len(gen) / per_utt_time if per_utt_time else 0.0,
+                rtf=audio_secs / per_utt_time if per_utt_time else 0.0,
+                inference_time=per_utt_time,
+            ))
+        if not quiet:
+            agg_audio = total_tokens / sr
+            print(
+                f"[Speed] {total_tokens / elapsed:.2f} tokens/s | "
+                f"RTF: {agg_audio / elapsed:.2f}x | Generated {total_tokens} "
+                f"tokens in {elapsed:.2f}s (batch={b})"
+            )
+        return results
+
+    def synthesize(self, req: Request, dcfg: Optional[DecodeConfig] = None,
+                   **kw) -> SynthesisResult:
+        return self.synthesize_batch([req], dcfg, **kw)[0]
