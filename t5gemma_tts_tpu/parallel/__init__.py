@@ -1,0 +1,3 @@
+from .mesh import (  # noqa: F401
+    batch_spec, make_mesh, param_specs, shard_batch, shard_params,
+)

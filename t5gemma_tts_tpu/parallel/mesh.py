@@ -1,0 +1,107 @@
+"""Device mesh + sharding rules: SPMD replacement for the reference's DDP.
+
+The reference parallelizes with torch DDP over NCCL only (reference:
+steps/trainer.py:145-149, SURVEY.md §2.2). Here a single SPMD program runs
+over a ``jax.sharding.Mesh`` with axes:
+
+- ``data``: batch sharding (DDP equivalent); gradients are reduced by XLA
+  collectives over ICI — no explicit all_reduce calls anywhere;
+- ``model``: optional tensor parallelism. Attention heads and MLP hidden are
+  sharded column/row-wise so each matmul pair needs a single reduce-scatter/
+  all-gather pair, and the 256k-row text embedding + 65k audio head shard
+  over their vocab axes.
+
+The reference's explicit collectives (NaN-flag all_reduce, metric sums,
+early-stop broadcasts — steps/trainer.py:314-397) disappear: under SPMD they
+are replicated values of the single program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PyTree = Any
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with axes (data, model). Defaults to all devices data-parallel."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp({dp}) * tp({tp}) != device count ({n})")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# sharding rules
+# ---------------------------------------------------------------------------
+
+
+def _stack_spec(path, leaf) -> P:
+    """PartitionSpec for one parameter leaf of the voice model pytree."""
+    keys = [getattr(k, "key", None) for k in path]
+    name = keys[-1]
+    in_layers = "layers" in keys or "blocks" in keys
+
+    if "self_attn" in keys or "cross_attn" in keys:
+        # kernels are [L, in, out]; q/k/v shard the head (out) axis, o the
+        # head (in) axis -> one collective pair per attention block
+        if name in ("q", "k", "v"):
+            return P(None, None, MODEL_AXIS)
+        if name == "o":
+            return P(None, MODEL_AXIS, None)
+    if "mlp" in keys:
+        if name in ("gate", "up"):
+            return P(None, None, MODEL_AXIS)
+        if name == "down":
+            return P(None, MODEL_AXIS, None)
+    if name == "embed" and not in_layers:
+        return P(MODEL_AXIS, None)       # vocab-sharded text embedding
+    if keys[-2:] == ["head", "w1"]:
+        return P(None, MODEL_AXIS)
+    if keys[-2:] == ["head", "w2"]:
+        return P(MODEL_AXIS, None) if leaf.ndim == 2 else P()
+    if name == "audio_embed":
+        return P(MODEL_AXIS, None)
+    # norms, biases, small tensors: replicated
+    return P(*([None] * leaf.ndim)) if leaf.ndim else P()
+
+
+def param_specs(params: PyTree) -> PyTree:
+    return jax.tree_util.tree_map_with_path(_stack_spec, params)
+
+
+def shard_params(params: PyTree, mesh: Mesh) -> PyTree:
+    specs = param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_spec(axis: int = 0) -> P:
+    return P(*([None] * axis), DATA_AXIS)
+
+
+def shard_batch(batch: PyTree, mesh: Mesh, axis: int = 0) -> PyTree:
+    """Shard the batch dimension (dim ``axis``; train batches are
+    [n_micro, B, ...] so use axis=1 there)."""
+    def put(x):
+        spec = P(*([None] * min(axis, x.ndim - 1)), DATA_AXIS)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
