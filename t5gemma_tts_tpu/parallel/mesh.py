@@ -78,12 +78,32 @@ def _stack_spec(path, leaf) -> P:
     return P(*([None] * leaf.ndim)) if leaf.ndim else P()
 
 
-def param_specs(params: PyTree) -> PyTree:
-    return jax.tree_util.tree_map_with_path(_stack_spec, params)
+def _respect_divisibility(spec: P, leaf, mesh: Mesh) -> P:
+    """Replace shardings that don't divide the dimension with replication
+    (e.g. the 65541-row audio vocab is not a multiple of typical tp sizes)."""
+    out = []
+    for dim, axis in enumerate(tuple(spec) + (None,) * (leaf.ndim - len(spec))):
+        if axis is None:
+            out.append(None)
+        elif leaf.shape[dim] % mesh.shape[axis] == 0:
+            out.append(axis)
+        else:
+            out.append(None)
+    return P(*out)
+
+
+def param_specs(params: PyTree, mesh: Optional[Mesh] = None) -> PyTree:
+    specs = jax.tree_util.tree_map_with_path(_stack_spec, params)
+    if mesh is None:
+        return specs
+    return jax.tree_util.tree_map(
+        lambda s, x: _respect_divisibility(s, x, mesh), specs, params,
+        is_leaf=lambda v: isinstance(v, P),
+    )
 
 
 def shard_params(params: PyTree, mesh: Mesh) -> PyTree:
-    specs = param_specs(params)
+    specs = param_specs(params, mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

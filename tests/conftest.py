@@ -1,22 +1,33 @@
 """Test configuration: force an 8-device CPU mesh before JAX initializes.
 
 Multi-device SPMD paths are tested on virtual CPU devices
-(``xla_force_host_platform_device_count``), per SURVEY.md §4.
+(``xla_force_host_platform_device_count``), per SURVEY.md §4. The host
+environment may point JAX at a real accelerator (JAX_PLATFORMS=axon) and may
+pre-import jax at interpreter startup, so both the env vars and the config
+API are forced here (the backend must not be initialized yet — conftest runs
+before any test code touches devices).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# determinism + quieter logs
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-# JAX's default matmul precision is bf16-based even for f32 inputs; parity
-# tests need true fp32 accumulation. jax may already be imported at
-# interpreter startup here, so set the flag through the config API.
+
+# jax may already be imported (but not initialized) at interpreter startup;
+# force flags through the config API as well.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+# JAX's default matmul precision is bf16-based even for f32 inputs; parity
+# tests need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert not jax._src.xla_bridge.backends_are_initialized(), (
+    "JAX backends initialized before conftest could configure them; "
+    "tests would not run on the virtual CPU mesh"
+)
