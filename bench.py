@@ -1,0 +1,128 @@
+"""Benchmark: batched TTS decode throughput on one chip.
+
+Measures the headline metric from BASELINE.md — RTF as audio-seconds
+generated per wall-second (target: >= 30x real time per v5e chip) — on the
+flagship t5gemma-2b-2b voice model (random-initialized weights; throughput is
+weight-value independent) including XCodec2 vocoder decode of the generated
+tokens.
+
+Prints ONE JSON line:
+  {"metric": "decode_rtf_audio_sec_per_wall_sec", "value": N,
+   "unit": "x_realtime", "vs_baseline": N / 30.0, ...extras}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=5.0,
+                    help="target duration per utterance")
+    ap.add_argument("--preset", default="2b-2b", choices=["2b-2b", "b-b", "test"])
+    ap.add_argument("--text-len", type=int, default=64)
+    ap.add_argument("--skip-vocoder", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from t5gemma_tts_tpu.codec.model import (
+        XCodec2Config, init_decoder_params, decode_code, tiny_codec_config,
+    )
+    from t5gemma_tts_tpu.config import DecodeConfig, VoiceConfig, backbone_preset
+    from t5gemma_tts_tpu.decode import engine
+    from t5gemma_tts_tpu.models import voice
+
+    dev = jax.devices()[0]
+    if args.preset == "test":
+        cfg = VoiceConfig(backbone=backbone_preset("test"),
+                          audio_vocab_size=128, text_vocab_size=512,
+                          dtype="float32")
+        ccfg = tiny_codec_config()
+    else:
+        cfg = VoiceConfig(backbone=backbone_preset(args.preset))
+        ccfg = XCodec2Config()
+
+    sr = int(cfg.encodec_sr)
+    frames = int(sr * args.seconds)
+    b = args.batch
+    max_frames = frames + sr + 16  # small stop-rule slack
+
+    params = jax.jit(lambda k: voice.init_params(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(3, min(255000, cfg.text_vocab_size),
+                                 (b, args.text_len)).astype(np.int32))
+    x_lens = jnp.full((b,), args.text_len, jnp.int32)
+    prompt = jnp.full((b, 8), cfg.special.pad, jnp.int32)
+    prompt_lens = jnp.zeros((b,), jnp.int32)
+    targets = jnp.full((b,), frames, jnp.int32)
+
+    # force generation to run to the duration budget (random weights don't
+    # emit EOG on their own): extra_cutoff=0 stops at exactly target frames
+    import dataclasses
+    cfg = dataclasses.replace(cfg, extra_cutoff=0.0)
+    dcfg = DecodeConfig(top_k=30, top_p=0.9, temperature=0.8,
+                        max_frames=max_frames)
+    run = engine.jitted_decoder(cfg, dcfg)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    t0 = time.time()
+    out = run(params, x, x_lens, prompt, prompt_lens, targets, key)
+    jax.block_until_ready(out.tokens)
+    compile_time = time.time() - t0
+
+    if not args.skip_vocoder:
+        cparams = jax.jit(lambda k: init_decoder_params(k, ccfg, jnp.bfloat16))(
+            jax.random.PRNGKey(2))
+        voc = jax.jit(lambda p, c: decode_code(p, ccfg, c))
+        wav = voc(cparams, out.tokens % ccfg.fsq.codebook_size)
+        jax.block_until_ready(wav)
+
+    # timed runs
+    n_runs = 3
+    t0 = time.time()
+    total_tokens = 0
+    for i in range(n_runs):
+        out = run(params, x, x_lens, prompt, prompt_lens, targets,
+                  jax.random.fold_in(key, i))
+        if not args.skip_vocoder:
+            wav = voc(cparams, out.tokens % ccfg.fsq.codebook_size)
+            jax.block_until_ready(wav)
+        else:
+            jax.block_until_ready(out.tokens)
+        total_tokens += int(np.asarray(out.gen_lens).sum())
+    elapsed = time.time() - t0
+
+    audio_secs = total_tokens / sr
+    rtf = audio_secs / elapsed
+    tokens_per_sec = total_tokens / elapsed
+    steps = int(out.steps)
+
+    print(json.dumps({
+        "metric": "decode_rtf_audio_sec_per_wall_sec",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 30.0, 3),
+        "tokens_per_sec": round(tokens_per_sec, 1),
+        "batch": b,
+        "utterance_sec": args.seconds,
+        "decode_steps": steps,
+        "compile_sec": round(compile_time, 1),
+        "device": str(dev),
+        "preset": args.preset,
+        "vocoder_included": not args.skip_vocoder,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Checkpoint/resume: orbax bundles with the reference's rotation semantics.
+
+Mirrors reference steps/trainer.py:604-640, 1074-1123: ``bundle`` is saved at
+every validation with the previous one rotated to ``bundle_prev`` (crash
+safety), ``best_bundle`` tracks the best validation loss, ``bundle_step{N}``
+snapshots on a fixed cadence, and a JSON ``progress`` manifest records
+step/epoch/best-score for resume. Model/optimizer state live in one orbax
+PyTree checkpoint; the config is serialized alongside for provenance (the
+reference pickles argparse args — config.py semantics, JSON here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+log = logging.getLogger(__name__)
+
+BUNDLE = "bundle"
+BUNDLE_PREV = "bundle_prev"
+BEST_BUNDLE = "best_bundle"
+PROGRESS = "progress.json"
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_bundle(exp_dir: str, state: Any, progress: Dict[str, Any],
+                name: str = BUNDLE, rotate: bool = True) -> str:
+    os.makedirs(exp_dir, exist_ok=True)
+    path = os.path.join(exp_dir, name)
+    if rotate and os.path.exists(path):
+        prev = os.path.join(exp_dir, BUNDLE_PREV)
+        if os.path.exists(prev):
+            shutil.rmtree(prev)
+        os.replace(path, prev)
+    elif os.path.exists(path):
+        shutil.rmtree(path)
+    _ckptr().save(path, jax.device_get(state))
+    with open(os.path.join(exp_dir, PROGRESS), "w") as f:
+        json.dump(progress, f, indent=2)
+    return path
+
+
+def restore_bundle(exp_dir: str, template: Any,
+                   name: Optional[str] = None) -> Tuple[Any, Dict[str, Any]]:
+    """Restore the newest usable bundle (bundle, else bundle_prev — the
+    reference's crash-resume fallback, main.py:70-72)."""
+    candidates = [name] if name else [BUNDLE, BUNDLE_PREV]
+    for cand in candidates:
+        path = os.path.join(exp_dir, cand)
+        if os.path.exists(path):
+            state = _ckptr().restore(path, item=template)
+            progress = {}
+            pf = os.path.join(exp_dir, PROGRESS)
+            if os.path.isfile(pf):
+                with open(pf) as f:
+                    progress = json.load(f)
+            log.info("restored checkpoint from %s (step %s)", path,
+                     progress.get("step"))
+            return state, progress
+    raise FileNotFoundError(f"no checkpoint found under {exp_dir}")
+
+
+def has_bundle(exp_dir: str) -> bool:
+    return any(
+        os.path.exists(os.path.join(exp_dir, n)) for n in (BUNDLE, BUNDLE_PREV)
+    )
+
+
+def save_config(exp_dir: str, cfg: Any, fname: str = "config.json") -> None:
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, fname), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)

@@ -1,0 +1,298 @@
+"""The training orchestrator: one SPMD loop over bucketed fixed-shape batches.
+
+Functional equivalent of the reference ``Trainer`` (reference:
+steps/trainer.py:77-580): per-step train metrics, periodic validation with
+best-checkpoint tracking and early stopping on a val-loss plateau, bundle
+rotation, mid-epoch resume, divergence abort, TensorBoard (and optional
+wandb) logging, and optional validation-time generation diagnostics that
+decode a sample to audio.
+
+TPU-native differences:
+- the whole cluster runs ONE program: no DDP wrapper, no rank-0 gating, no
+  barrier/broadcast choreography (reference trainer.py:211-563) — metrics
+  and early-stop decisions are replicated values;
+- batches come from the fixed-shape BucketBatchSampler, so there is one
+  compiled train step per (bucket, grad-accum) shape;
+- gradient accumulation groups consecutive same-bucket batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VoiceConfig
+from ..data import batching
+from ..data.dataset import VoiceDataset
+from ..models import voice
+from . import checkpoint as ckpt
+from . import optim, train_step
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainerConfig:
+    """Training-loop knobs (reference config.py:47-120 subset)."""
+
+    exp_dir: str = "exp"
+    lr: float = 0.035
+    optimizer_name: str = "ScaledAdam"  # or "AdamW"
+    num_steps: int = 10000
+    warmup_fraction: float = 0.1
+    gradient_accumulation_steps: int = 1
+    max_num_tokens: int = 18750
+    val_max_num_tokens: int = 6000
+    num_buckets: int = 10
+    tb_write_every_n_steps: int = 100
+    print_every_n_steps: int = 250
+    val_every_n_steps: int = 500
+    save_every_n_steps: int = 10_000_000
+    early_stop_step: int = 3200
+    early_stop_threshold: float = -1.0
+    reduce_lr_start_step: int = 3000
+    reduce_lr_start_epoch: int = 4
+    pseudo_epoch_size: int = 37901
+    clipping_update_period: int = 600
+    num_epochs: int = 10
+    seed: int = 1
+    text_pad_token: int = 0
+    text_max_length: int = 1000
+    # validation generation diagnostics (reference trainer.py:668-890)
+    inference_every_n_steps: int = 3000
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: VoiceConfig,
+        tcfg: TrainerConfig,
+        train_ds: VoiceDataset,
+        valid_ds: Optional[VoiceDataset] = None,
+        params: Optional[Any] = None,
+        mesh=None,
+        tb_writer=None,
+        generation_hook: Optional[Callable] = None,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.train_ds = train_ds
+        self.valid_ds = valid_ds
+        self.mesh = mesh
+        self.tb = tb_writer
+        self.generation_hook = generation_hook
+
+        self.ocfg = optim.ScaledAdamConfig(
+            clipping_update_period=tcfg.clipping_update_period,
+            clipping_scale=2.0 if tcfg.optimizer_name == "ScaledAdam" else None,
+        )
+        if params is None:
+            params = voice.init_params(jax.random.PRNGKey(tcfg.seed), cfg)
+        if mesh is not None:
+            from .. import parallel
+
+            params = parallel.shard_params(params, mesh)
+        self.state = train_step.init_state(params, self.ocfg)
+        self._step_fn = train_step.compile_train_step(cfg, self.ocfg)
+        self._eval_fn = jax.jit(train_step.make_eval_step(cfg))
+
+        self.plan = batching.make_plan(
+            train_ds.lengths, tcfg.max_num_tokens, tcfg.num_buckets,
+            max_len=int(train_ds.cfg.audio_max_length * train_ds.cfg.encodec_sr),
+        )
+        self.sampler = batching.BucketBatchSampler(
+            train_ds.lengths, self.plan, shuffle=True, seed=tcfg.seed,
+        )
+        if valid_ds is not None:
+            self.val_plan = batching.make_plan(
+                valid_ds.lengths, tcfg.val_max_num_tokens, tcfg.num_buckets,
+                max_len=int(valid_ds.cfg.audio_max_length * valid_ds.cfg.encodec_sr),
+            )
+
+        self.progress: Dict[str, Any] = {
+            "step": 0, "epoch": 0, "cur_step": 0,
+            "best_step": 0, "best_score": float("inf"),
+        }
+        if ckpt.has_bundle(tcfg.exp_dir):
+            self.state, progress = ckpt.restore_bundle(tcfg.exp_dir, self.state)
+            self.progress.update(progress)
+            log.info("resumed at step %d", self.progress["step"])
+
+    # ------------------------------------------------------------------
+
+    def _lr(self, step: int) -> jnp.ndarray:
+        t = self.tcfg
+        if t.optimizer_name == "ScaledAdam":
+            epoch = step // t.pseudo_epoch_size + 1
+            return optim.eden_lr(
+                t.lr, step, epoch, float(t.reduce_lr_start_step),
+                float(t.reduce_lr_start_epoch),
+                warmup_batches=t.num_steps * t.warmup_fraction,
+            )
+        return optim.linear_warmup_decay_lr(
+            t.lr, step, t.num_steps, t.num_steps * t.warmup_fraction
+        )
+
+    def _to_batch(self, examples, bucket_id, plan):
+        b = batching.pad_batch(
+            examples, plan, bucket_id,
+            text_len=self.tcfg.text_max_length,
+            text_pad=self.tcfg.text_pad_token,
+            audio_pad=self.cfg.special.pad,
+        )
+        return b
+
+    def _device_batch(self, np_batches: List[Dict[str, np.ndarray]]):
+        stacked = {
+            k: np.stack([nb[k] for nb in np_batches]) for k in np_batches[0]
+        }
+        if self.mesh is not None:
+            from .. import parallel
+
+            return parallel.shard_batch(stacked, self.mesh, axis=1)
+        return jax.tree_util.tree_map(jnp.asarray, stacked)
+
+    # ------------------------------------------------------------------
+
+    def train(self) -> Dict[str, Any]:
+        t = self.tcfg
+        meters = defaultdict(float)
+        pending: Dict[int, List] = defaultdict(list)
+        running_loss, data_t0 = None, time.time()
+        done = False
+
+        start_epoch = self.progress["epoch"]
+        for epoch in range(start_epoch, t.num_epochs):
+            if epoch == start_epoch and self.progress["cur_step"] > 0:
+                self.sampler.set_epoch_resume(epoch, self.progress["cur_step"])
+            else:
+                self.sampler.set_epoch(epoch)
+            self.progress["epoch"] = epoch
+
+            for bucket_id, rows in self.sampler:
+                examples = [
+                    self.train_ds[i] if i >= 0 else None for i in rows
+                ]
+                pending[bucket_id].append(
+                    self._to_batch(examples, bucket_id, self.plan)
+                )
+                if len(pending[bucket_id]) < t.gradient_accumulation_steps:
+                    continue
+                batch = self._device_batch(pending.pop(bucket_id))
+
+                step = self.progress["step"]
+                lr = self._lr(step)
+                meters["data_time"] += time.time() - data_t0
+                t0 = time.time()
+                self.state, metrics = self._step_fn(self.state, batch, lr)
+                loss = float(metrics.loss)
+                meters["train_time"] += time.time() - t0
+                data_t0 = time.time()
+
+                self.progress["step"] = step + 1
+                self.progress["cur_step"] += 1
+                running_loss = loss if running_loss is None else (
+                    0.98 * running_loss + 0.02 * loss
+                )
+                if not np.isfinite(running_loss) and step > 50:
+                    raise RuntimeError(
+                        "training diverged: running loss is not finite"
+                    )
+
+                if self.tb is not None and (step + 1) % t.tb_write_every_n_steps == 0:
+                    for k in ("loss", "mean_ce", "perplexity", "top10acc",
+                              "grad_norm", "lr"):
+                        self.tb.add_scalar(
+                            f"train/{k}", float(getattr(metrics, k)), step + 1
+                        )
+                if (step + 1) % t.print_every_n_steps == 0:
+                    log.info(
+                        "step %d | loss %.4f | ppl %.2f | top10 %.3f | "
+                        "lr %.2e | data %.1fs train %.1fs",
+                        step + 1, loss, float(metrics.perplexity),
+                        float(metrics.top10acc), float(lr),
+                        meters["data_time"], meters["train_time"],
+                    )
+                if (step + 1) % t.save_every_n_steps == 0:
+                    ckpt.save_bundle(t.exp_dir, self.state, self.progress,
+                                     name=f"bundle_step{step + 1}",
+                                     rotate=False)
+                if (step + 1) % t.val_every_n_steps == 0:
+                    if not self.validate_and_save(step + 1):
+                        log.info("early stopping at step %d", step + 1)
+                        done = True
+                if self.progress["step"] >= t.num_steps:
+                    done = True
+                if done:
+                    break
+            self.progress["cur_step"] = 0
+            if done:
+                break
+
+        ckpt.save_bundle(t.exp_dir, self.state, self.progress)
+        return dict(self.progress)
+
+    # ------------------------------------------------------------------
+
+    def validate(self) -> Dict[str, float]:
+        assert self.valid_ds is not None
+        sampler = batching.BucketBatchSampler(
+            self.valid_ds.lengths, self.val_plan, shuffle=False, seed=0,
+        )
+        tot = defaultdict(float)
+        for bucket_id, rows in sampler:
+            examples = [self.valid_ds[i] if i >= 0 else None for i in rows]
+            b = self._to_batch(examples, bucket_id, self.val_plan)
+            batch = jax.tree_util.tree_map(jnp.asarray, b)
+            m = self._eval_fn(self.state.params, batch)
+            ntok = float(m.ntokens)
+            tot["loss_sum"] += float(m.mean_ce) * ntok
+            tot["top10_sum"] += float(m.top10acc) * ntok
+            tot["ntok"] += ntok
+        ntok = max(tot["ntok"], 1.0)
+        return {
+            "loss": tot["loss_sum"] / ntok,
+            "top10acc": tot["top10_sum"] / ntok,
+            "ntokens": ntok,
+        }
+
+    def validate_and_save(self, step: int) -> bool:
+        """Returns False when early stopping should trigger
+        (reference steps/trainer.py:582-654, 590-602)."""
+        t = self.tcfg
+        if self.valid_ds is not None:
+            val = self.validate()
+            if self.tb is not None:
+                self.tb.add_scalar("val/loss", val["loss"], step)
+                self.tb.add_scalar("val/top10acc", val["top10acc"], step)
+            log.info("val @ %d: loss %.4f top10 %.3f", step, val["loss"],
+                     val["top10acc"])
+            score = val["loss"]
+            improved = score < self.progress["best_score"] - max(
+                t.early_stop_threshold, 0.0
+            )
+            if improved:
+                self.progress["best_score"] = score
+                self.progress["best_step"] = step
+                ckpt.save_bundle(t.exp_dir, self.state, self.progress,
+                                 name=ckpt.BEST_BUNDLE, rotate=False)
+            if (self.generation_hook is not None
+                    and step % t.inference_every_n_steps == 0):
+                try:
+                    self.generation_hook(self.state.params, step)
+                except Exception as exc:  # diagnostics must not kill training
+                    log.warning("generation diagnostics failed: %s", exc)
+        ckpt.save_bundle(t.exp_dir, self.state, self.progress)
+        if (self.valid_ds is not None and t.early_stop_step > 0
+                and step - self.progress["best_step"] >= t.early_stop_step):
+            return False
+        return True
