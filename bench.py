@@ -22,7 +22,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seconds", type=float, default=5.0,
                     help="target duration per utterance")
     ap.add_argument("--preset", default="2b-2b", choices=["2b-2b", "b-b", "test"])
@@ -75,10 +75,16 @@ def main():
     run = engine.jitted_decoder(cfg, dcfg)
     key = jax.random.PRNGKey(1)
 
+    def force(x_arr):
+        # fetch a tiny dependent slice: forces execution without a bulk
+        # device->host transfer (block_until_ready alone does not force
+        # completion on the tunneled backend)
+        return np.asarray(x_arr.reshape(-1)[:4])
+
     # warmup / compile
     t0 = time.time()
     out = run(params, x, x_lens, prompt, prompt_lens, targets, key)
-    jax.block_until_ready(out.tokens)
+    force(out.tokens)
     compile_time = time.time() - t0
 
     if not args.skip_vocoder:
@@ -86,7 +92,7 @@ def main():
             jax.random.PRNGKey(2))
         voc = jax.jit(lambda p, c: decode_code(p, ccfg, c))
         wav = voc(cparams, out.tokens % ccfg.fsq.codebook_size)
-        jax.block_until_ready(wav)
+        force(wav)
 
     # timed runs
     n_runs = 3
@@ -97,9 +103,7 @@ def main():
                   jax.random.fold_in(key, i))
         if not args.skip_vocoder:
             wav = voc(cparams, out.tokens % ccfg.fsq.codebook_size)
-            jax.block_until_ready(wav)
-        else:
-            jax.block_until_ready(out.tokens)
+            force(wav)
         total_tokens += int(np.asarray(out.gen_lens).sum())
     elapsed = time.time() - t0
 

@@ -21,6 +21,7 @@ channel axis stays in lanes).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Dict, Tuple
 
 import jax
@@ -160,14 +161,45 @@ def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return out.reshape(b, (t + k - 1) * hop)[:, : (t - 1) * hop + n_fft]
 
 
+@lru_cache(maxsize=4)
+def _irfft_basis(n_fft: int):
+    """Inverse real-DFT as two matmul bases [n_fft/2+1, n_fft] (float32).
+
+    x[n] = sum_k w_k/N * (Re X[k] cos(2pi k n/N) - Im X[k] sin(2pi k n/N)),
+    w_k = 2 except the DC and Nyquist bins. Expressed as matmuls this runs on
+    the MXU and sidesteps XLA's TPU FFT path, whose compile time for
+    n_fft=2048 is minutes (measured 360 s) versus <1 s for the matmul.
+    """
+    k = np.arange(n_fft // 2 + 1)[:, None].astype(np.float64)
+    n = np.arange(n_fft)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * n / n_fft
+    w = np.full((n_fft // 2 + 1, 1), 2.0)
+    w[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1, 0] = 1.0
+    cos_b = (w * np.cos(ang) / n_fft).astype(np.float32)
+    sin_b = (-w * np.sin(ang) / n_fft).astype(np.float32)
+    return cos_b, sin_b
+
+
+def irfft_matmul(spec_real: jnp.ndarray, spec_imag: jnp.ndarray,
+                 n_fft: int) -> jnp.ndarray:
+    """[..., n_fft//2+1] real/imag -> [..., n_fft] time frames via MXU."""
+    cos_b, sin_b = _irfft_basis(n_fft)
+    re = spec_real.astype(jnp.float32)
+    im = spec_imag.astype(jnp.float32)
+    return (
+        jnp.matmul(re, jnp.asarray(cos_b), preferred_element_type=jnp.float32)
+        + jnp.matmul(im, jnp.asarray(sin_b), preferred_element_type=jnp.float32)
+    )
+
+
 def istft_same(spec_real: jnp.ndarray, spec_imag: jnp.ndarray,
                cfg: VocosConfig) -> jnp.ndarray:
     """Vocos "same"-padded ISTFT. spec_*: [B, T, n_fft//2 + 1] -> [B, T*hop]."""
     n_fft, hop = cfg.n_fft, cfg.hop_length
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
-    spec = jax.lax.complex(spec_real.astype(jnp.float32),
-                           spec_imag.astype(jnp.float32))
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window  # [B, T, n_fft]
+    frames = irfft_matmul(spec_real, spec_imag, n_fft) * window  # [B, T, n_fft]
     audio = overlap_add(frames, hop)
 
     t = spec_real.shape[1]
