@@ -163,6 +163,45 @@ def make_eval_step(cfg: VoiceConfig):
     return eval_step
 
 
+def make_lora_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig,
+                         lcfg):
+    """LoRA fine-tune step: optimizer over adapters only; base frozen
+    (reference models/t5gemma.py:543-599)."""
+    from . import lora as lora_mod
+
+    def train_step(adapters, opt_state, base_params, batch, lr):
+        def loss_fn(ads, mb):
+            eff = lora_mod.apply(base_params, ads, lcfg)
+            out = voice.forward(eff, cfg, mb)
+            return out.loss / jnp.maximum(
+                out.effective_ntokens.astype(jnp.float32), 1.0
+            ), out
+
+        def micro(carry, mb):
+            acc_grads, loss_sum, ntok_sum = carry
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                adapters, mb
+            )
+            ntok = out.effective_ntokens.astype(jnp.float32)
+            acc_grads = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32) * ntok, acc_grads, grads
+            )
+            return (acc_grads, loss_sum + out.loss, ntok_sum + ntok), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), adapters
+        )
+        (grads, loss_sum, ntok), _ = jax.lax.scan(
+            micro, (zeros, jnp.float32(0), jnp.float32(0)), batch
+        )
+        ntok = jnp.maximum(ntok, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / ntok, grads)
+        new_adapters, new_opt = optim.update(grads, opt_state, adapters, lr, ocfg)
+        return new_adapters, new_opt, loss_sum / ntok
+
+    return train_step
+
+
 def compile_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig,
                        donate: bool = True):
     """jit the train step. Sharding is carried by the inputs: place params

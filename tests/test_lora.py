@@ -1,0 +1,76 @@
+"""LoRA tests: zero-init identity, target selection, training step updates
+adapters only, merge equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from t5gemma_tts_tpu.config import tiny_voice_config
+from t5gemma_tts_tpu.models import voice
+from t5gemma_tts_tpu.train import lora, optim, train_step
+
+
+def _params():
+    cfg = tiny_voice_config()
+    return cfg, voice.init_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_adapter_targets():
+    cfg, params = _params()
+    lcfg = lora.LoraConfig(r=4)
+    ads = lora.init_adapters(jax.random.PRNGKey(1), params, lcfg)
+    # every backbone q/k/v/o/gate/up/down gets an adapter
+    assert ads["decoder"]["layers"]["self_attn"]["q"] is not None
+    assert ads["decoder"]["layers"]["cross_attn"]["v"] is not None
+    assert ads["encoder"]["layers"]["mlp"]["down"] is not None
+    # norms / embeddings / head do not
+    assert ads["encoder"]["layers"]["pre_self_attn_norm"] is None
+    assert ads["audio_embed"] is None
+    assert ads["head"]["w1"] is None
+
+
+def test_zero_init_is_identity():
+    cfg, params = _params()
+    lcfg = lora.LoraConfig(r=4)
+    ads = lora.init_adapters(jax.random.PRNGKey(1), params, lcfg)
+    eff = lora.apply(params, ads, lcfg)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(eff)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_lora_step_trains_only_adapters():
+    cfg, params = _params()
+    lcfg = lora.LoraConfig(r=4)
+    ads = lora.init_adapters(jax.random.PRNGKey(1), params, lcfg)
+    ocfg = optim.ScaledAdamConfig(clipping_scale=None)
+    opt_state = optim.init(ads, ocfg)
+    step = jax.jit(train_step.make_lora_train_step(cfg, ocfg, lcfg))
+
+    rng = np.random.default_rng(0)
+    n_micro, b, tx, ty = 1, 2, 6, 8
+    batch = {
+        "x": jnp.asarray(rng.integers(3, cfg.text_vocab_size,
+                                      (n_micro, b, tx)).astype(np.int32)),
+        "x_lens": jnp.asarray(np.full((n_micro, b), tx, np.int32)),
+        "y": jnp.asarray(rng.integers(0, cfg.audio_vocab_size,
+                                      (n_micro, b, ty)).astype(np.int32)),
+        "y_lens": jnp.asarray(np.full((n_micro, b), ty, np.int32)),
+        "y_sep_position": jnp.asarray(np.zeros((n_micro, b), np.int32)),
+    }
+    new_ads, new_opt, loss = step(ads, opt_state, params, batch,
+                                  jnp.float32(0.05))
+    assert np.isfinite(float(loss))
+    # B matrices moved away from zero somewhere
+    moved = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(new_ads):
+        if getattr(path[-1], "key", None) == "b":
+            moved += float(jnp.abs(leaf).sum())
+    assert moved > 0
+
+    # merge(params, trained adapters) == apply for the forward pass
+    eff = lora.apply(params, new_ads, lcfg)
+    merged = lora.merge(params, new_ads, lcfg)
+    for a, b2 in zip(jax.tree_util.tree_leaves(eff),
+                     jax.tree_util.tree_leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=1e-5)
