@@ -341,29 +341,8 @@ def decoder_forward(
     sliding_flags = jnp.asarray(dims.sliding_flags)
 
     use_cache = cache is not None
-    if use_cache:
-        xs = (params["layers"], sliding_flags,
-              (cache.self_k, cache.self_v), (cross_k, cross_v))
-    else:
-        xs = (params["layers"], sliding_flags, None, (cross_k, cross_v))
 
-    def body(h, xs):
-        if use_cache:
-            lp, is_sliding, (ck, cv), (xk, xv) = xs
-            layer_cache = (ck, cv)
-        else:
-            lp, is_sliding, _, (xk, xv) = xs
-            layer_cache = None
-        bias = jnp.where(is_sliding, self_sliding_bias, self_full_bias)
-
-        r = h
-        hn = rms_norm(h, lp["pre_self_attn_norm"], dims.rms_norm_eps)
-        a, new_cache = self_attention(
-            lp["self_attn"], hn, cos, sin, bias, dims,
-            cache_kv=layer_cache, cache_pos=cache_pos,
-        )
-        h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
-
+    def layer_tail(h, lp, xk, xv):
         r = h
         hn = rms_norm(h, lp["pre_cross_attn_norm"], dims.rms_norm_eps)
         a = cross_attention(lp["cross_attn"], hn, (xk, xv), cross_bias, dims,
@@ -373,14 +352,70 @@ def decoder_forward(
         r = h
         hn = rms_norm(h, lp["pre_ff_norm"], dims.rms_norm_eps)
         h = r + rms_norm(mlp(lp["mlp"], hn), lp["post_ff_norm"], dims.rms_norm_eps)
-        return h, new_cache
+        return h
 
-    h, new_caches = jax.lax.scan(body, h, xs)
-    h = rms_norm(h, params["final_norm"], dims.rms_norm_eps)
-    if use_cache:
-        new_cache = DecoderCache(
-            self_k=new_caches[0], self_v=new_caches[1],
-            cross_k=cross_k, cross_v=cross_v,
+    if not use_cache:
+        def body(h, xs):
+            lp, is_sliding, (xk, xv) = xs
+            bias = jnp.where(is_sliding, self_sliding_bias, self_full_bias)
+            r = h
+            hn = rms_norm(h, lp["pre_self_attn_norm"], dims.rms_norm_eps)
+            a, _ = self_attention(lp["self_attn"], hn, cos, sin, bias, dims)
+            h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
+            return layer_tail(h, lp, xk, xv), None
+
+        h, _ = jax.lax.scan(
+            body, h, (params["layers"], sliding_flags, (cross_k, cross_v))
         )
-        return h, new_cache
-    return h, None
+        return rms_norm(h, params["final_norm"], dims.rms_norm_eps), None
+
+    # cached path: the KV cache rides the scan CARRY and is updated in place
+    # with per-layer dynamic slices — carrying it as scan xs/ys would copy
+    # the whole cache through HBM every decode step (~2 GB/step at the
+    # flagship shapes), which measurably caps decode throughput.
+    layer_ids = jnp.arange(dims.num_layers)
+
+    def body(carry, xs):
+        h, k_all, v_all = carry
+        lp, is_sliding, li, (xk, xv) = xs
+        bias = jnp.where(is_sliding, self_sliding_bias, self_full_bias)
+
+        r = h
+        hn = rms_norm(h, lp["pre_self_attn_norm"], dims.rms_norm_eps)
+        q = _split_heads(hn @ lp["self_attn"]["q"], dims.num_heads, dims.head_dim)
+        k = _split_heads(hn @ lp["self_attn"]["k"], dims.num_kv_heads, dims.head_dim)
+        v = _split_heads(hn @ lp["self_attn"]["v"], dims.num_kv_heads, dims.head_dim)
+        q = rope_ops.apply_rope(q, cos, sin)
+        k = rope_ops.apply_rope(k, cos, sin)
+
+        ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+        if cache_pos is None:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        else:
+            def write(c, kv, pos):
+                return jax.lax.dynamic_update_slice(
+                    c, kv.astype(c.dtype), (0, pos, 0)
+                )
+
+            ck = jax.vmap(write)(ck, k, cache_pos)
+            cv = jax.vmap(write)(cv, v, cache_pos)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+
+        out = gqa_attention(q, ck.astype(h.dtype), cv.astype(h.dtype), bias,
+                            dims.q_scale, dims.attn_logit_softcap)
+        a = _merge_heads(out) @ lp["self_attn"]["o"]
+        h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
+        h = layer_tail(h, lp, xk, xv)
+        return (h, k_all, v_all), None
+
+    (h, new_k, new_v), _ = jax.lax.scan(
+        body, (h, cache.self_k, cache.self_v),
+        (params["layers"], sliding_flags, layer_ids, (cross_k, cross_v)),
+    )
+    h = rms_norm(h, params["final_norm"], dims.rms_norm_eps)
+    new_cache = DecoderCache(self_k=new_k, self_v=new_v,
+                             cross_k=cross_k, cross_v=cross_v)
+    return h, new_cache
