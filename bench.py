@@ -22,12 +22,14 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=5.0,
                     help="target duration per utterance")
     ap.add_argument("--preset", default="2b-2b", choices=["2b-2b", "b-b", "test"])
     ap.add_argument("--text-len", type=int, default=64)
     ap.add_argument("--skip-vocoder", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize decoder weights to int8 (Pallas W8A16)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +59,10 @@ def main():
 
     params = jax.jit(lambda k: voice.init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if args.int8:
+        from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
+
+        params = jax.jit(quantize_params_for_decode)(params)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(3, min(255000, cfg.text_vocab_size),
@@ -125,6 +131,7 @@ def main():
         "device": str(dev),
         "preset": args.preset,
         "vocoder_included": not args.skip_vocoder,
+        "int8": args.int8,
     }))
 
 

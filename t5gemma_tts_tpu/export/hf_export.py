@@ -118,11 +118,26 @@ def main(argv=None):
     ap.add_argument("--bundle", required=True, help="training exp_dir")
     ap.add_argument("--out", required=True)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--lora_bundle", default=None,
+                    help="adapter bundle to merge before export (the "
+                         "reference's merge_and_unload path, "
+                         "scripts/export_t5gemma_voice_hf_lora.py)")
+    ap.add_argument("--lora_r", type=int, default=16)
+    ap.add_argument("--lora_alpha", type=int, default=32)
     args = ap.parse_args(argv)
 
     from ..inference.loading import load_bundle_dir
 
     params, cfg, _ = load_bundle_dir(args.bundle)
+    if args.lora_bundle:
+        import orbax.checkpoint as ocp
+
+        from ..train import lora
+
+        adapters = ocp.PyTreeCheckpointer().restore(args.lora_bundle)
+        lcfg = lora.LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+        params = lora.merge(params, adapters, lcfg)
+        print(f"merged LoRA adapters from {args.lora_bundle}")
     export_hf(params, cfg, args.out, dtype=args.dtype)
     print(f"exported to {args.out}")
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..config import ModuleDims
 from ..ops import rope as rope_ops
+from ..ops.quant import q_matmul as _mm
 
 PyTree = Any
 
@@ -56,8 +57,8 @@ def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
 
 def mlp(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     """GeGLU: act(x @ gate) * (x @ up) @ down."""
-    h = gelu_tanh(x @ p["gate"]) * (x @ p["up"])
-    return h @ p["down"]
+    h = gelu_tanh(_mm(x, p["gate"])) * _mm(x, p["up"])
+    return _mm(h, p["down"])
 
 
 def _split_heads(x: jnp.ndarray, n_heads: int, head_dim: int) -> jnp.ndarray:
@@ -114,9 +115,9 @@ def self_attention(
     """Self-attention with RoPE. With ``cache_kv`` ([B,Hkv,Tmax,hd] pair) and
     per-row ``cache_pos`` [B], writes this call's K/V at each row's position
     and attends over the whole cache (decode step/prefill)."""
-    q = _split_heads(x @ p["q"], dims.num_heads, dims.head_dim)
-    k = _split_heads(x @ p["k"], dims.num_kv_heads, dims.head_dim)
-    v = _split_heads(x @ p["v"], dims.num_kv_heads, dims.head_dim)
+    q = _split_heads(_mm(x, p["q"]), dims.num_heads, dims.head_dim)
+    k = _split_heads(_mm(x, p["k"]), dims.num_kv_heads, dims.head_dim)
+    v = _split_heads(_mm(x, p["v"]), dims.num_kv_heads, dims.head_dim)
     q = rope_ops.apply_rope(q, cos, sin)
     k = rope_ops.apply_rope(k, cos, sin)
 
@@ -139,7 +140,7 @@ def self_attention(
         new_cache = (ck, cv)
 
     out = gqa_attention(q, k, v, bias, dims.q_scale, dims.attn_logit_softcap)
-    return _merge_heads(out) @ p["o"], new_cache
+    return _mm(_merge_heads(out), p["o"]), new_cache
 
 
 def cross_attention(
@@ -155,13 +156,13 @@ def cross_attention(
     encoder memory (reference: models/t5gemma.py:117-149 caches cross K/V);
     the decoder query gets rotary with *progress* positions when q_cos/q_sin
     are given (reference: models/t5gemma.py:109-115)."""
-    q = _split_heads(x @ p["q"], dims.num_heads, dims.head_dim)
+    q = _split_heads(_mm(x, p["q"]), dims.num_heads, dims.head_dim)
     if q_cos is not None:
         q = rope_ops.apply_rope(q, q_cos, q_sin)
     k, v = kv_cache
     out = gqa_attention(q, k.astype(x.dtype), v.astype(x.dtype), bias,
                         dims.q_scale, dims.attn_logit_softcap)
-    return _merge_heads(out) @ p["o"]
+    return _mm(_merge_heads(out), p["o"])
 
 
 def cross_kv(
@@ -173,8 +174,8 @@ def cross_kv(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Project encoder memory to cross K/V; encoder keys get PM rotary
     (reference: models/t5gemma.py:124-135)."""
-    k = _split_heads(memory @ p["k"], dims.num_kv_heads, dims.head_dim)
-    v = _split_heads(memory @ p["v"], dims.num_kv_heads, dims.head_dim)
+    k = _split_heads(_mm(memory, p["k"]), dims.num_kv_heads, dims.head_dim)
+    v = _split_heads(_mm(memory, p["v"]), dims.num_kv_heads, dims.head_dim)
     if k_cos is not None:
         k = rope_ops.apply_rope(k, k_cos, k_sin)
     return k, v
@@ -382,9 +383,9 @@ def decoder_forward(
 
         r = h
         hn = rms_norm(h, lp["pre_self_attn_norm"], dims.rms_norm_eps)
-        q = _split_heads(hn @ lp["self_attn"]["q"], dims.num_heads, dims.head_dim)
-        k = _split_heads(hn @ lp["self_attn"]["k"], dims.num_kv_heads, dims.head_dim)
-        v = _split_heads(hn @ lp["self_attn"]["v"], dims.num_kv_heads, dims.head_dim)
+        q = _split_heads(_mm(hn, lp["self_attn"]["q"]), dims.num_heads, dims.head_dim)
+        k = _split_heads(_mm(hn, lp["self_attn"]["k"]), dims.num_kv_heads, dims.head_dim)
+        v = _split_heads(_mm(hn, lp["self_attn"]["v"]), dims.num_kv_heads, dims.head_dim)
         q = rope_ops.apply_rope(q, cos, sin)
         k = rope_ops.apply_rope(k, cos, sin)
 
@@ -406,7 +407,7 @@ def decoder_forward(
 
         out = gqa_attention(q, ck.astype(h.dtype), cv.astype(h.dtype), bias,
                             dims.q_scale, dims.attn_logit_softcap)
-        a = _merge_heads(out) @ lp["self_attn"]["o"]
+        a = _mm(_merge_heads(out), lp["self_attn"]["o"])
         h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
         h = layer_tail(h, lp, xk, xv)
         return (h, k_all, v_all), None

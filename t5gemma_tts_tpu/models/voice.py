@@ -66,9 +66,11 @@ def init_params(rng: jax.Array, cfg: VoiceConfig) -> PyTree:
 
 def predict_head(head: Dict[str, jnp.ndarray], hidden: jnp.ndarray) -> jnp.ndarray:
     """2-layer head with exact (erf) GELU -> audio-token logits."""
-    h = hidden @ head["w1"] + head["b1"]
+    from ..ops.quant import q_matmul as _mm
+
+    h = _mm(hidden, head["w1"]) + head["b1"]
     h = jax.nn.gelu(h, approximate=False)
-    return h @ head["w2"] + head["b2"]
+    return _mm(h, head["w2"]) + head["b2"]
 
 
 def embed_audio(params: PyTree, tokens: jnp.ndarray) -> jnp.ndarray:

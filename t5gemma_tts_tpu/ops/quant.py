@@ -1,0 +1,142 @@
+"""Int8 weight quantization + Pallas dequantizing matmul (W8A16 decode path).
+
+Autoregressive decode at small batch is weight-bandwidth-bound: every step
+streams the full decoder (~4.3 GB bf16 for t5gemma-2b-2b) through HBM. With
+per-output-channel int8 weights that traffic halves. A plain
+``x @ w_int8.astype(bf16)`` would NOT help — XLA materializes the converted
+bf16 weight buffer in HBM — so the conversion must happen on-chip, which is
+exactly what the Pallas kernel here does:
+
+  grid over N tiles; per tile DMA the [K, N_TILE] int8 block into VMEM,
+  widen to bf16 in-register, MXU matmul against the (small) activation
+  block, scale by the per-channel f32 scales.
+
+``QuantWeight`` is a pytree, so layer-stacked quantized weights flow through
+``lax.scan`` like ordinary parameters. ``q_matmul`` dispatches: plain arrays
+use ``@``, QuantWeight uses the kernel (interpreted off-TPU so tests run on
+CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_TILE = 512
+M_TILE = 256  # rows per grid step (keeps the activation block in VMEM)
+M_PAD = 16    # bf16 sublane tile
+
+
+class QuantWeight(NamedTuple):
+    values: jnp.ndarray   # int8 [..., K, N_pad]
+    scale: jnp.ndarray    # f32  [..., N_pad]
+    n: int                # true (unpadded) output dim — static
+
+
+# make the static `n` a pytree aux value
+jax.tree_util.register_pytree_node(
+    QuantWeight,
+    lambda qw: ((qw.values, qw.scale), qw.n),
+    lambda n, leaves: QuantWeight(leaves[0], leaves[1], n),
+)
+
+
+def quantize_weight(w: jnp.ndarray, n_tile: int = N_TILE) -> QuantWeight:
+    """Per-output-channel absmax int8 quantization; pads N to the tile."""
+    *lead, k, n = w.shape
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2)                   # [..., N]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    n_pad = -(-n // n_tile) * n_tile
+    if n_pad != n:
+        pad = [(0, 0)] * len(lead) + [(0, 0), (0, n_pad - n)]
+        q = jnp.pad(q, pad)
+        scale = jnp.pad(scale, [(0, 0)] * len(lead) + [(0, n_pad - n)])
+    return QuantWeight(values=q, scale=scale, n=n)
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref):
+    w = w_ref[:].astype(jnp.bfloat16)  # int8 -> bf16 in VMEM
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _qmm_2d(x: jnp.ndarray, values: jnp.ndarray, scale: jnp.ndarray,
+            interpret: bool = False) -> jnp.ndarray:
+    """x [M, K] bf16 x values [K, N_pad] int8 -> [M, N_pad] (x.dtype)."""
+    m, k = x.shape
+    n_pad = values.shape[-1]
+    # tile M so big prefill/training activations never blow VMEM; decode
+    # steps (M <= M_TILE) stay a single row-block
+    m_tile = min(M_TILE, -(-m // M_PAD) * M_PAD)
+    m_pad = -(-m // m_tile) * m_tile
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        _qmm_kernel,
+        grid=(m_pad // m_tile, n_pad // N_TILE),
+        in_specs=[
+            pl.BlockSpec((m_tile, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, N_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, N_TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n_pad,
+            bytes_accessed=k * n_pad + m_pad * k * 2 + m_pad * n_pad * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), values, scale.reshape(1, n_pad))
+    return out[:m]
+
+
+def q_matmul(x: jnp.ndarray, w: Union[jnp.ndarray, QuantWeight]) -> jnp.ndarray:
+    """Drop-in for ``x @ w``; works for [..., K] activations."""
+    if not isinstance(w, QuantWeight):
+        return x @ w
+    interpret = jax.default_backend() != "tpu"
+    *lead, k = x.shape
+    x2 = x.reshape(-1, k)
+    out = _qmm_2d(x2, w.values, w.scale, interpret=interpret)
+    return out[:, : w.n].reshape(*lead, w.n)
+
+
+def dequantize(w: QuantWeight) -> jnp.ndarray:
+    """Reference dequantization (for tests)."""
+    full = w.values.astype(jnp.float32) * w.scale[..., None, :]
+    return full[..., : w.n]
+
+
+_QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down", "w1", "w2")
+
+
+def quantize_params_for_decode(params, quantize_encoder: bool = False):
+    """Quantize the weight-bandwidth-heavy matmuls of the voice model for
+    inference. By default the decoder stack + prediction head (read every
+    decode step) go int8; the encoder (read once per utterance) stays bf16
+    unless ``quantize_encoder``."""
+    def walk(path, leaf):
+        keys = [getattr(k, "key", None) for k in path]
+        if not keys:
+            return leaf
+        if keys[0] == "decoder" or (quantize_encoder and keys[0] == "encoder"):
+            if keys[-1] in _QUANT_KEYS and getattr(leaf, "ndim", 0) == 3:
+                return quantize_weight(leaf)
+        if keys[0] == "head" and keys[-1] in ("w1", "w2"):
+            return quantize_weight(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(walk, params)

@@ -204,13 +204,13 @@ def main(argv: Optional[list] = None):
         mesh = parallel.make_mesh(tp=args.tp)
         log.info("mesh: %s", mesh)
 
-    tb = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    from ..train.logging_utils import MultiLogger
+    from ..utils.snapshot import copy_codebase
 
-        tb = SummaryWriter(os.path.join(args.exp_dir, "tb"))
-    except ImportError:
-        pass
+    copy_codebase(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                  args.exp_dir)
+    tb = MultiLogger(args.exp_dir, use_wandb=bool(os.environ.get("WANDB_MODE")),
+                     config=vars(args))
 
     trainer = Trainer(cfg, tcfg, train_ds, valid_ds, params=params, mesh=mesh,
                       tb_writer=tb)

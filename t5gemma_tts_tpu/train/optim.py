@@ -244,6 +244,64 @@ def update(
 
 
 # ---------------------------------------------------------------------------
+# AdamW (the reference's simple path, steps/trainer.py:1320-1333)
+# ---------------------------------------------------------------------------
+
+
+class AdamWState(NamedTuple):
+    step: jnp.ndarray
+    mu: PyTree
+    nu: PyTree
+
+
+@dataclass(frozen=True)
+class AdamWConfig:
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    weight_decay: float = 1e-2
+    grad_clip: float = 1.0  # reference --gradient_clip_val
+
+
+def adamw_init(params: PyTree) -> AdamWState:
+    z = lambda: jax.tree_util.tree_map(  # noqa: E731
+        lambda p: jnp.zeros_like(p, jnp.float32), params)
+    return AdamWState(step=jnp.int32(0), mu=z(), nu=z())
+
+
+def adamw_update(grads: PyTree, state: AdamWState, params: PyTree,
+                 lr: jnp.ndarray, cfg: AdamWConfig):
+    b1, b2 = cfg.betas
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                  for g in jax.tree_util.tree_leaves(grads))
+        gnorm = jnp.sqrt(gsq)
+        scale = jnp.minimum(1.0, cfg.grad_clip / (gnorm + 1e-6))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    step = state.step + 1
+    bc1 = 1 - b1 ** step.astype(jnp.float32)
+    bc2 = 1 - b2 ** step.astype(jnp.float32)
+
+    def upd(p, g, m, v):
+        g = g.astype(jnp.float32)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        update = (m / bc1) / (jnp.sqrt(v / bc2) + cfg.eps)
+        p32 = p.astype(jnp.float32)
+        p32 = p32 - lr * (update + cfg.weight_decay * p32)
+        return p32.astype(p.dtype), m, v
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state.mu)
+    flat_v = treedef.flatten_up_to(state.nu)
+    out = [upd(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    new_p = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
+    new_m = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
+    new_v = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])
+    return new_p, AdamWState(step=step, mu=new_m, nu=new_v)
+
+
+# ---------------------------------------------------------------------------
 # schedules
 # ---------------------------------------------------------------------------
 

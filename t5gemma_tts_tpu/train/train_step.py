@@ -33,15 +33,27 @@ PyTree = Any
 
 class TrainState(NamedTuple):
     params: PyTree
-    opt: optim.ScaledAdamState
+    opt: Any                   # ScaledAdamState | AdamWState
     step: jnp.ndarray          # completed optimizer steps
     nan_skips: jnp.ndarray     # count of skipped (non-finite) steps
 
 
-def init_state(params: PyTree, ocfg: optim.ScaledAdamConfig) -> TrainState:
+def opt_init(params: PyTree, ocfg) -> Any:
+    if isinstance(ocfg, optim.AdamWConfig):
+        return optim.adamw_init(params)
+    return optim.init(params, ocfg)
+
+
+def opt_update(grads, opt_state, params, lr, ocfg):
+    if isinstance(ocfg, optim.AdamWConfig):
+        return optim.adamw_update(grads, opt_state, params, lr, ocfg)
+    return optim.update(grads, opt_state, params, lr, ocfg)
+
+
+def init_state(params: PyTree, ocfg) -> TrainState:
     return TrainState(
         params=params,
-        opt=optim.init(params, ocfg),
+        opt=opt_init(params, ocfg),
         step=jnp.int32(0),
         nan_skips=jnp.int32(0),
     )
@@ -112,7 +124,7 @@ def make_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig):
         safe_grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, 0.0), grads
         )
-        new_params, new_opt = optim.update(
+        new_params, new_opt = opt_update(
             safe_grads, state.opt, state.params, lr, ocfg
         )
         # NaN guard: keep old params/opt when the step was non-finite
@@ -196,7 +208,7 @@ def make_lora_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig,
         )
         ntok = jnp.maximum(ntok, 1.0)
         grads = jax.tree_util.tree_map(lambda g: g / ntok, grads)
-        new_adapters, new_opt = optim.update(grads, opt_state, adapters, lr, ocfg)
+        new_adapters, new_opt = opt_update(grads, opt_state, adapters, lr, ocfg)
         return new_adapters, new_opt, loss_sum / ntok
 
     return train_step

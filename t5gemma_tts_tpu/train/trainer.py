@@ -91,10 +91,13 @@ class Trainer:
         self.tb = tb_writer
         self.generation_hook = generation_hook
 
-        self.ocfg = optim.ScaledAdamConfig(
-            clipping_update_period=tcfg.clipping_update_period,
-            clipping_scale=2.0 if tcfg.optimizer_name == "ScaledAdam" else None,
-        )
+        if tcfg.optimizer_name == "ScaledAdam":
+            self.ocfg = optim.ScaledAdamConfig(
+                clipping_update_period=tcfg.clipping_update_period,
+                clipping_scale=2.0,
+            )
+        else:
+            self.ocfg = optim.AdamWConfig()
         if params is None:
             params = voice.init_params(jax.random.PRNGKey(tcfg.seed), cfg)
         if mesh is not None:

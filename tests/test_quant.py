@@ -1,0 +1,88 @@
+"""Int8 quantized-matmul tests: kernel vs dequantized reference, decode path
+with quantized decoder params."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from t5gemma_tts_tpu.config import DecodeConfig, tiny_voice_config
+from t5gemma_tts_tpu.models import voice
+from t5gemma_tts_tpu.ops import quant
+
+
+def test_quantize_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(128, 300)).astype(np.float32) * 0.05)
+    qw = quant.quantize_weight(w)
+    deq = quant.dequantize(qw)
+    err = np.abs(np.asarray(deq) - np.asarray(w)).max()
+    colmax = np.abs(np.asarray(w)).max(0).min()
+    assert err <= np.abs(np.asarray(w)).max() / 127.0 + 1e-6
+    assert qw.values.shape[-1] % quant.N_TILE == 0
+    assert qw.n == 300
+
+
+def test_q_matmul_matches_dequantized_reference():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(5, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(128, 384)).astype(np.float32) * 0.1)
+    qw = quant.quantize_weight(w)
+    got = np.asarray(quant.q_matmul(x, qw))
+    ref = np.asarray(x.astype(jnp.bfloat16) @ quant.dequantize(qw).astype(jnp.bfloat16))
+    assert got.shape == (5, 384)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+    # relative error vs the unquantized matmul stays small
+    exact = np.asarray(x @ w)
+    rel = np.abs(got - exact).mean() / (np.abs(exact).mean() + 1e-9)
+    assert rel < 0.02
+
+
+def test_q_matmul_passthrough_for_plain_arrays():
+    x = jnp.ones((2, 4))
+    w = jnp.ones((4, 3))
+    np.testing.assert_allclose(np.asarray(quant.q_matmul(x, w)),
+                               np.asarray(x @ w))
+
+
+def test_q_matmul_3d_activations():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 7, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32) * 0.1)
+    qw = quant.quantize_weight(w)
+    got = quant.q_matmul(x, qw)
+    assert got.shape == (2, 7, 256)
+
+
+def test_quantized_decode_runs_and_tracks_bf16():
+    from t5gemma_tts_tpu.decode import engine
+
+    cfg = tiny_voice_config(extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_params_for_decode(params)
+    # decoder projections quantized, encoder untouched
+    assert isinstance(qparams["decoder"]["layers"]["self_attn"]["q"],
+                      quant.QuantWeight)
+    assert not isinstance(qparams["encoder"]["layers"]["self_attn"]["q"],
+                          quant.QuantWeight)
+    assert isinstance(qparams["head"]["w2"], quant.QuantWeight)
+
+    rng = np.random.default_rng(0)
+    b = 2
+    x = jnp.asarray(rng.integers(3, cfg.text_vocab_size, (b, 6)).astype(np.int32))
+    x_lens = jnp.full((b,), 6, jnp.int32)
+    prompt = jnp.full((b, 4), cfg.special.pad, jnp.int32)
+    prompt_lens = jnp.zeros((b,), jnp.int32)
+    targets = jnp.full((b,), 10, jnp.int32)
+    dcfg = DecodeConfig(top_k=1, temperature=1.0, max_frames=14)
+
+    out_q = engine.decode_tokens(qparams, cfg, dcfg, x, x_lens, prompt,
+                                 prompt_lens, targets, jax.random.PRNGKey(0))
+    out_f = engine.decode_tokens(params, cfg, dcfg, x, x_lens, prompt,
+                                 prompt_lens, targets, jax.random.PRNGKey(0))
+    lens_q = np.asarray(out_q.gen_lens)
+    assert (lens_q > 0).all()
+    toks_q = np.asarray(out_q.tokens)
+    assert np.isin(cfg.eog_inference, toks_q)
+    # greedy traces from a random tiny model are noisy under quantization;
+    # just require both to produce the same sequence lengths' ballpark
+    assert abs(int(lens_q.sum()) - int(np.asarray(out_f.gen_lens).sum())) <= 20
