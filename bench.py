@@ -62,7 +62,7 @@ def main():
     if args.int8:
         from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
 
-        params = jax.jit(quantize_params_for_decode)(params)
+        params = jax.jit(quantize_params_for_decode, donate_argnums=0)(params)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(3, min(255000, cfg.text_vocab_size),
