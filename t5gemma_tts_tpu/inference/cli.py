@@ -148,9 +148,20 @@ def run_inference(args: argparse.Namespace) -> str:
     if isinstance(repeat, str) and repeat.lower() != "max":
         repeat = int(repeat)
 
-    prompt_end_frame = 0
+    prompt_end_frame = -1
     if not no_ref:
-        prompt_end_frame = int(args.cut_off_sec * 1e9)  # bounded by file size
+        # limit the reference read to cut_off_sec at the file's sample rate
+        # (reference inference_commandline_hf.py:173-182)
+        from .audio_io import read_wav
+
+        try:
+            import wave
+
+            with wave.open(reference_speech, "rb") as w:
+                file_sr = w.getframerate()
+        except Exception:
+            _, file_sr = read_wav(reference_speech)
+        prompt_end_frame = int(args.cut_off_sec * file_sr)
 
     dcfg = DecodeConfig(
         top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
@@ -164,7 +175,7 @@ def run_inference(args: argparse.Namespace) -> str:
             prompt_transcript=prefix or None,
             target_duration=args.target_duration,
             repeat_prompt=repeat,
-            prompt_end_frame=-1,
+            prompt_end_frame=prompt_end_frame,
         ),
         dcfg, seed=args.seed,
     )

@@ -133,8 +133,33 @@ def voice_config_from_json(raw: Dict[str, Any]) -> VoiceConfig:
     )
 
 
+def load_reference_pth(path: str) -> Tuple[Any, VoiceConfig, Dict[str, Any]]:
+    """Load a reference training bundle (.pth with pickled args) directly
+    (reference: inference_commandline.py:116-155). Requires torch."""
+    import sys
+    from pathlib import Path
+
+    import torch
+
+    bundle = torch.load(path, map_location="cpu", weights_only=False)
+    args = bundle.get("args")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tools"))
+    try:
+        from convert_reference_bundle import args_to_voice_config
+    finally:
+        sys.path.pop(0)
+    cfg = args_to_voice_config(args)
+    sd = {k: v.float().numpy() for k, v in bundle["model"].items()
+          if hasattr(v, "numpy")}
+    params = convert.torch_state_dict_to_params(sd, cfg, dtype=cfg.dtype)
+    return params, cfg, {}
+
+
 def load_voice_model(model_dir: str):
-    """Auto-detect the checkpoint flavor."""
+    """Auto-detect the checkpoint flavor: HF safetensors dir, orbax bundle
+    dir, or a reference .pth bundle file."""
+    if os.path.isfile(model_dir) and model_dir.endswith((".pth", ".pt")):
+        return load_reference_pth(model_dir)
     files = set(os.listdir(model_dir))
     if any(f.endswith(".safetensors") for f in files):
         return load_hf_dir(model_dir)
