@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reduce_lr_start_epoch", type=int, default=4)
     p.add_argument("--clipping_update_period", type=int, default=600)
     p.add_argument("--pseudo_epoch_size", type=int, default=37901)
+    # LoRA (reference config.py:99-108)
+    p.add_argument("--use_lora", type=int, default=0)
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=int, default=32)
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     return p
@@ -197,6 +201,9 @@ def main(argv: Optional[list] = None):
         text_pad_token=tok.pad_token_id or 0,
         text_max_length=args.text_max_length,
         inference_every_n_steps=args.inference_every_n_steps,
+        use_lora=bool(args.use_lora),
+        lora_r=args.lora_r,
+        lora_alpha=args.lora_alpha,
     )
 
     mesh = None

@@ -69,6 +69,10 @@ class TrainerConfig:
     text_max_length: int = 1000
     # validation generation diagnostics (reference trainer.py:668-890)
     inference_every_n_steps: int = 3000
+    # LoRA fine-tuning (reference config.py:99-108)
+    use_lora: bool = False
+    lora_r: int = 16
+    lora_alpha: int = 32
 
 
 class Trainer:
@@ -104,8 +108,42 @@ class Trainer:
             from .. import parallel
 
             params = parallel.shard_params(params, mesh)
-        self.state = train_step.init_state(params, self.ocfg)
-        self._step_fn = train_step.compile_train_step(cfg, self.ocfg)
+
+        self.lcfg = None
+        if tcfg.use_lora:
+            # adapters train; the base stays frozen (reference
+            # models/t5gemma.py:543-599)
+            from . import lora
+
+            self.lcfg = lora.LoraConfig(r=tcfg.lora_r, alpha=tcfg.lora_alpha)
+            self.base_params = params
+            adapters = lora.init_adapters(
+                jax.random.PRNGKey(tcfg.seed + 1), params, self.lcfg
+            )
+            self.state = train_step.init_state(adapters, self.ocfg)
+            lora_step = jax.jit(
+                train_step.make_lora_train_step(cfg, self.ocfg, self.lcfg)
+            )
+
+            def step_fn(state, batch, lr):
+                new_ads, new_opt, loss = lora_step(
+                    state.params, state.opt, self.base_params, batch, lr
+                )
+                z = jnp.float32(0)
+                metrics = train_step.StepMetrics(
+                    loss=loss, mean_ce=loss, perplexity=jnp.exp(loss),
+                    top10acc=z, ntokens=z, grad_norm=z,
+                    nan_step=jnp.int32(0), lr=lr,
+                )
+                return train_step.TrainState(
+                    params=new_ads, opt=new_opt, step=state.step + 1,
+                    nan_skips=state.nan_skips,
+                ), metrics
+
+            self._step_fn = step_fn
+        else:
+            self.state = train_step.init_state(params, self.ocfg)
+            self._step_fn = train_step.compile_train_step(cfg, self.ocfg)
         self._eval_fn = jax.jit(train_step.make_eval_step(cfg))
 
         self.plan = batching.make_plan(
@@ -256,7 +294,13 @@ class Trainer:
             examples = [self.valid_ds[i] if i >= 0 else None for i in rows]
             b = self._to_batch(examples, bucket_id, self.val_plan)
             batch = jax.tree_util.tree_map(jnp.asarray, b)
-            m = self._eval_fn(self.state.params, batch)
+            eval_params = self.state.params
+            if self.lcfg is not None:
+                from . import lora
+
+                eval_params = lora.apply(self.base_params, self.state.params,
+                                         self.lcfg)
+            m = self._eval_fn(eval_params, batch)
             ntok = float(m.ntokens)
             tot["loss_sum"] += float(m.mean_ce) * ntok
             tot["top10_sum"] += float(m.top10acc) * ntok
