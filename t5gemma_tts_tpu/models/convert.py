@@ -172,7 +172,11 @@ def torch_state_dict_to_params(
 
 def params_to_torch_state_dict(params: Dict[str, Any],
                                prefix: str = "model.") -> Dict[str, np.ndarray]:
-    """Inverse conversion for HF export (safetensors interchange)."""
+    """Inverse conversion for HF export (safetensors interchange).
+
+    Every tensor is made C-contiguous: safetensors serializes the raw buffer
+    and silently ignores transpose strides, so a ``.T`` view would round-trip
+    scrambled."""
     sd: Dict[str, np.ndarray] = {}
 
     def unstack(side: str, layers: Dict[str, Any], is_decoder: bool):
@@ -190,13 +194,12 @@ def params_to_torch_state_dict(params: Dict[str, Any],
                 if key not in layers:
                     continue
                 for p in ("q", "k", "v", "o"):
-                    sd[base + f"{name}.{p}_proj.weight"] = np.asarray(
+                    sd[base + f"{name}.{p}_proj.weight"] = np.ascontiguousarray(np.asarray(
                         layers[key][p][i], np.float32
-                    ).T
+                    ).T)
             for p in ("gate", "up", "down"):
-                sd[base + f"mlp.{p}_proj.weight"] = np.asarray(
-                    layers["mlp"][p][i], np.float32
-                ).T
+                sd[base + f"mlp.{p}_proj.weight"] = np.ascontiguousarray(
+                    np.asarray(layers["mlp"][p][i], np.float32).T)
 
     unstack("encoder", params["encoder"]["layers"], False)
     unstack("decoder", params["decoder"]["layers"], True)
@@ -211,8 +214,10 @@ def params_to_torch_state_dict(params: Dict[str, Any],
     )
     if "audio_embed" in params:
         sd["audio_embedding.0.weight"] = np.asarray(params["audio_embed"], np.float32)
-        sd["predict_layer.0.0.weight"] = np.asarray(params["head"]["w1"], np.float32).T
+        sd["predict_layer.0.0.weight"] = np.ascontiguousarray(
+            np.asarray(params["head"]["w1"], np.float32).T)
         sd["predict_layer.0.0.bias"] = np.asarray(params["head"]["b1"], np.float32)
-        sd["predict_layer.0.2.weight"] = np.asarray(params["head"]["w2"], np.float32).T
+        sd["predict_layer.0.2.weight"] = np.ascontiguousarray(
+            np.asarray(params["head"]["w2"], np.float32).T)
         sd["predict_layer.0.2.bias"] = np.asarray(params["head"]["b2"], np.float32)
     return sd
