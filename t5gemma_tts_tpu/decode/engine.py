@@ -191,26 +191,65 @@ def decode_tokens(
     def cond(st: _LoopState):
         return (st.step < max_steps) & ~jnp.all(st.done)
 
+    sr_fifth = int(cfg.encodec_sr) // 5
+    vocab = cfg.audio_embedding_vocab
+
     def body(st: _LoopState) -> _LoopState:
         logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
-        logits = logits.astype(jnp.float32)
-        adjusted = _adjust_logits(cfg, dcfg, logits, st.step,
-                                  st.prev_token, st.consec_silence)
-
         step_rng = jax.random.fold_in(rng, st.step)
+
         if dcfg.top_k and dcfg.top_k > 0:
-            token = sampling.sample_topk_fast(
-                step_rng, adjusted, top_k=dcfg.top_k, top_p=dcfg.top_p,
-                min_p=dcfg.min_p, temperature=dcfg.temperature,
+            # one vocab-wide pass: raw top-(k+2) candidates; every
+            # adjustment only lowers at most two tokens (EOG + repeated
+            # silence), so the adjusted top-k lives inside this set —
+            # filtering here equals the reference's adjust-then-top_k order
+            # (see ops/sampling.py::sample_from_candidates).
+            kk = min(dcfg.top_k + 2, vocab)
+            vals, idx = jax.lax.top_k(logits, kk)
+            vals = vals.astype(jnp.float32)
+            is_eog = idx == eog
+            vals = jnp.where(is_eog & (st.step <= sr_fifth), -10000.0, vals)
+            vals = jnp.where(is_eog & (st.step == 0), -1e9, vals)
+            if dcfg.stop_repetition > 0 and dcfg.silence_tokens:
+                silence_arr = jnp.asarray(dcfg.silence_tokens)
+                prev_is_sil = jnp.any(
+                    st.prev_token[:, None] == silence_arr[None, :], axis=1
+                )
+                active = prev_is_sil & (st.consec_silence > dcfg.stop_repetition)
+                factor = (st.consec_silence
+                          - (dcfg.stop_repetition - 1)).astype(jnp.float32)
+                at_prev = idx == st.prev_token[:, None]
+                pen = jnp.where(vals < 0, vals * factor[:, None],
+                                vals / jnp.maximum(factor, 1.0)[:, None])
+                vals = jnp.where(at_prev & active[:, None], pen, vals)
+
+            min_p_mask = min_p_active = None
+            if 0.0 < dcfg.min_p < 1.0:
+                lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1,
+                                       keepdims=True)
+                probs = jnp.exp(vals - lse)
+                min_p_mask = probs < dcfg.min_p
+                # at least one survivor everywhere (reference torch.all check)
+                min_p_active = jnp.all(jnp.exp(vals[:, :1] - lse) >= dcfg.min_p)
+
+            b_idx = jnp.arange(vals.shape[0])
+            argmax_tok = idx[b_idx, jnp.argmax(vals, axis=-1)]
+            token = sampling.sample_from_candidates(
+                step_rng, vals, idx, top_k=dcfg.top_k, top_p=dcfg.top_p,
+                temperature=dcfg.temperature,
+                min_p_mask=min_p_mask, min_p_active=min_p_active,
             )
         else:
+            adjusted = _adjust_logits(cfg, dcfg, logits.astype(jnp.float32),
+                                      st.step, st.prev_token,
+                                      st.consec_silence)
             token = sampling.sample(
                 step_rng, adjusted, top_k=dcfg.top_k, top_p=dcfg.top_p,
                 min_p=dcfg.min_p, temperature=dcfg.temperature,
-            )
-        token = token.astype(jnp.int32)
+            ).astype(jnp.int32)
+            argmax_tok = sampling.greedy(adjusted)
 
-        force = (token == eog) | (sampling.greedy(adjusted) == eog)
+        force = (token == eog) | (argmax_tok == eog)
         force = force | (st.step > text_budget) | (st.step > time_budget)
         force = force | (st.step >= max_steps - 1)  # buffer exhaustion
         token = jnp.where(force, eog, token)
