@@ -128,10 +128,14 @@ def decode_tokens(
     # est_total per row (reference :925-933): target_total + 1, >= current len
     est_total = jnp.maximum(target_totals + 1, cated_lens)
 
-    # PM positions for prefill (reference :945-948): arange/(est_total-1)*scale
+    # PM positions for prefill (reference :945-948): arange/(est_total-1)*scale;
+    # with PM-RoPE off, self-attention rope uses plain absolute indices
     base = jnp.arange(p_max + 1, dtype=jnp.float32)[None, :]
-    denom = jnp.maximum(1, est_total - 1).astype(jnp.float32)[:, None]
-    prefill_pos = base / denom * cfg.progress_scale
+    if cfg.use_pm_rope:
+        denom = jnp.maximum(1, est_total - 1).astype(jnp.float32)[:, None]
+        prefill_pos = base / denom * cfg.progress_scale
+    else:
+        prefill_pos = jnp.broadcast_to(base, (b, p_max + 1))
 
     embedded = voice.embed_audio(params, cated).astype(compute_dtype)
 
@@ -272,9 +276,13 @@ def decode_tokens(
 
         # ---- decoder step for still-active rows (computed for all) --------
         emb = voice.embed_audio(params, token[:, None]).astype(compute_dtype)
-        pos = rope_ops.decode_step_position(
-            st.current_length, est_total, cfg.progress_scale
-        )[:, None]  # [B, 1]
+        if cfg.use_pm_rope:
+            pos = rope_ops.decode_step_position(
+                st.current_length, est_total, cfg.progress_scale
+            )[:, None]  # [B, 1]
+        else:
+            # absolute integer position of the new token (HF default path)
+            pos = st.current_length.astype(jnp.float32)[:, None]
         step_full = mask_ops.step_self_bias(st.current_length, t_max, window=None)
         step_slid = mask_ops.step_self_bias(
             st.current_length, t_max, window=dims.sliding_window

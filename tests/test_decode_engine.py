@@ -51,15 +51,20 @@ def _greedy_oracle(cfg, dcfg, params, x, x_lens, prompt, prompt_lens,
         ids = np.full((b, t), s.pad, np.int32)
         for i, q in enumerate(seqs):
             ids[i, :len(q)] = q
-        pos = (
-            np.arange(t, dtype=np.float32)[None]
-            / np.maximum(1, est_total - 1)[:, None]
-            * cfg.progress_scale
-        )
-        # clamp positions of generated region like the engine's step positions
-        clamped = np.minimum(pos, cfg.progress_scale)
-        for i in range(b):
-            pos[i, prompt_lens[i] + 1:] = clamped[i, prompt_lens[i] + 1:]
+        if cfg.use_pm_rope:
+            pos = (
+                np.arange(t, dtype=np.float32)[None]
+                / np.maximum(1, est_total - 1)[:, None]
+                * cfg.progress_scale
+            )
+            # clamp generated-region positions like the engine's step path
+            clamped = np.minimum(pos, cfg.progress_scale)
+            for i in range(b):
+                pos[i, prompt_lens[i] + 1:] = clamped[i, prompt_lens[i] + 1:]
+        else:
+            pos = np.broadcast_to(
+                np.arange(t, dtype=np.float32)[None], (b, t)
+            ).copy()
         emb = voice.embed_audio(params, jnp.asarray(ids))
         hidden, _ = t5gemma.decoder_forward(
             params["decoder"], dims,
@@ -70,7 +75,7 @@ def _greedy_oracle(cfg, dcfg, params, x, x_lens, prompt, prompt_lens,
             ),
             cross_bias=mask_ops.cross_bias(jnp.asarray(x_lens), t, x.shape[1]),
             position_ids=jnp.asarray(pos),
-            pm_decoder_positions=jnp.asarray(pos),
+            pm_decoder_positions=jnp.asarray(pos) if cfg.use_pm_rope else None,
             cross_k=cross_k, cross_v=cross_v,
         )
         last = np.asarray(
@@ -120,6 +125,34 @@ def test_cached_decode_matches_greedy_oracle():
         got = list(toks[i, :lens[i]])
         assert got == oracle[i], f"row {i}: {got} != {oracle[i]}"
         assert got[-1] == cfg.eog_inference
+
+
+def test_cached_decode_matches_oracle_pm_rope_off():
+    cfg = tiny_voice_config(extra_cutoff=0.0, use_pm_rope=False)
+    params = voice.init_params(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    b, tx, p_max = 2, 6, 4
+    x = rng.integers(3, cfg.text_vocab_size, (b, tx)).astype(np.int32)
+    x_lens = np.array([tx, tx - 2], np.int32)
+    prompt = rng.integers(0, cfg.audio_vocab_size, (b, p_max)).astype(np.int32)
+    prompt_lens = np.array([3, 1], np.int32)
+    for i in range(b):
+        prompt[i, prompt_lens[i]:] = cfg.special.pad
+    target_totals = prompt_lens + np.array([7, 5], np.int32)
+    dcfg = DecodeConfig(top_k=1, top_p=1.0, temperature=1.0, max_frames=16)
+    out = engine.decode_tokens(
+        params, cfg, dcfg,
+        jnp.asarray(x), jnp.asarray(x_lens),
+        jnp.asarray(prompt), jnp.asarray(prompt_lens),
+        jnp.asarray(target_totals), jax.random.PRNGKey(1),
+    )
+    oracle = _greedy_oracle(cfg, dcfg, params, x, x_lens, prompt,
+                            prompt_lens, target_totals)
+    toks = np.asarray(out.tokens)
+    lens = np.asarray(out.gen_lens)
+    for i in range(b):
+        got = list(toks[i, :lens[i]])
+        assert got == oracle[i], f"row {i}: {got} != {oracle[i]}"
 
 
 def test_decode_is_deterministic_and_jittable():
