@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--skip-vocoder", action="store_true")
     ap.add_argument("--int8", action="store_true",
                     help="quantize decoder weights to int8 (Pallas W8A16)")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="disable fused qkv/gate_up decode matmuls")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +61,10 @@ def main():
 
     params = jax.jit(lambda k: voice.init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if not args.no_fuse:
+        from t5gemma_tts_tpu.models.t5gemma import fuse_for_decode
+
+        params = jax.jit(fuse_for_decode, donate_argnums=0)(params)
     if args.int8:
         from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
 
@@ -132,6 +138,7 @@ def main():
         "preset": args.preset,
         "vocoder_included": not args.skip_vocoder,
         "int8": args.int8,
+        "fused_matmuls": not args.no_fuse,
     }))
 
 

@@ -56,8 +56,15 @@ def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def mlp(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """GeGLU: act(x @ gate) * (x @ up) @ down."""
-    h = gelu_tanh(_mm(x, p["gate"])) * _mm(x, p["up"])
+    """GeGLU: act(x @ gate) * (x @ up) @ down. Decode-fused params carry one
+    concatenated gate_up kernel (see fuse_for_decode) to halve the matmul
+    dispatch count on the weight-streaming-bound decode path."""
+    if "gate_up" in p:
+        gu = _mm(x, p["gate_up"])
+        g, u = jnp.split(gu, 2, axis=-1)
+        h = gelu_tanh(g) * u
+    else:
+        h = gelu_tanh(_mm(x, p["gate"])) * _mm(x, p["up"])
     return _mm(h, p["down"])
 
 
@@ -102,6 +109,22 @@ class AttnParams(NamedTuple):
     o: jnp.ndarray
 
 
+def _qkv_proj(p: Dict[str, jnp.ndarray], x: jnp.ndarray, dims: ModuleDims):
+    """q/k/v projections; one fused matmul when the params carry "qkv"."""
+    if "qkv" in p:
+        qh = dims.num_heads * dims.head_dim
+        kh = dims.num_kv_heads * dims.head_dim
+        qkv = _mm(x, p["qkv"])
+        q = _split_heads(qkv[..., :qh], dims.num_heads, dims.head_dim)
+        k = _split_heads(qkv[..., qh:qh + kh], dims.num_kv_heads, dims.head_dim)
+        v = _split_heads(qkv[..., qh + kh:], dims.num_kv_heads, dims.head_dim)
+    else:
+        q = _split_heads(_mm(x, p["q"]), dims.num_heads, dims.head_dim)
+        k = _split_heads(_mm(x, p["k"]), dims.num_kv_heads, dims.head_dim)
+        v = _split_heads(_mm(x, p["v"]), dims.num_kv_heads, dims.head_dim)
+    return q, k, v
+
+
 def self_attention(
     p: Dict[str, jnp.ndarray],
     x: jnp.ndarray,
@@ -115,9 +138,7 @@ def self_attention(
     """Self-attention with RoPE. With ``cache_kv`` ([B,Hkv,Tmax,hd] pair) and
     per-row ``cache_pos`` [B], writes this call's K/V at each row's position
     and attends over the whole cache (decode step/prefill)."""
-    q = _split_heads(_mm(x, p["q"]), dims.num_heads, dims.head_dim)
-    k = _split_heads(_mm(x, p["k"]), dims.num_kv_heads, dims.head_dim)
-    v = _split_heads(_mm(x, p["v"]), dims.num_kv_heads, dims.head_dim)
+    q, k, v = _qkv_proj(p, x, dims)
     q = rope_ops.apply_rope(q, cos, sin)
     k = rope_ops.apply_rope(k, cos, sin)
 
@@ -383,9 +404,7 @@ def decoder_forward(
 
         r = h
         hn = rms_norm(h, lp["pre_self_attn_norm"], dims.rms_norm_eps)
-        q = _split_heads(_mm(hn, lp["self_attn"]["q"]), dims.num_heads, dims.head_dim)
-        k = _split_heads(_mm(hn, lp["self_attn"]["k"]), dims.num_kv_heads, dims.head_dim)
-        v = _split_heads(_mm(hn, lp["self_attn"]["v"]), dims.num_kv_heads, dims.head_dim)
+        q, k, v = _qkv_proj(lp["self_attn"], hn, dims)
         q = rope_ops.apply_rope(q, cos, sin)
         k = rope_ops.apply_rope(k, cos, sin)
 
@@ -420,3 +439,28 @@ def decoder_forward(
     new_cache = DecoderCache(self_k=new_k, self_v=new_v,
                              cross_k=cross_k, cross_v=cross_v)
     return h, new_cache
+
+
+def fuse_for_decode(params: PyTree) -> PyTree:
+    """Concatenate q/k/v -> qkv and gate/up -> gate_up kernels in both
+    stacks. The decode step is bound by per-matmul dispatch + DMA startup
+    (measured ~40us each); fusing drops 3 of the 9 matmuls per decoder
+    layer. Inference-only: checkpoints keep the unfused layout."""
+    def fuse_stack(stack):
+        stack = dict(stack)
+        layers = dict(stack["layers"])
+        sa = dict(layers["self_attn"])
+        sa["qkv"] = jnp.concatenate([sa.pop("q"), sa.pop("k"), sa.pop("v")],
+                                    axis=-1)
+        layers["self_attn"] = sa
+        mlp_p = dict(layers["mlp"])
+        mlp_p["gate_up"] = jnp.concatenate([mlp_p.pop("gate"), mlp_p.pop("up")],
+                                           axis=-1)
+        layers["mlp"] = mlp_p
+        stack["layers"] = layers
+        return stack
+
+    out = dict(params)
+    out["encoder"] = fuse_stack(params["encoder"])
+    out["decoder"] = fuse_stack(params["decoder"])
+    return out

@@ -120,7 +120,8 @@ def dequantize(w: QuantWeight) -> jnp.ndarray:
     return full[..., : w.n]
 
 
-_QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down", "w1", "w2")
+_QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down", "w1", "w2",
+               "qkv", "gate_up")
 
 
 def quantize_params_for_decode(params, quantize_encoder: bool = False):

@@ -188,3 +188,18 @@ def test_first_token_never_eog():
     )
     toks = np.asarray(out.tokens)
     assert (toks[:, 0] != cfg.eog_inference).all()
+
+
+def test_fused_params_match_unfused():
+    """fuse_for_decode (qkv/gate_up concat) must not change greedy traces."""
+    cfg, params, x, x_lens, prompt, prompt_lens = _setup(seed=11)
+    target_totals = prompt_lens + np.array([8, 6], np.int32)
+    dcfg = DecodeConfig(top_k=1, top_p=1.0, temperature=1.0, max_frames=16)
+    args = (jnp.asarray(x), jnp.asarray(x_lens), jnp.asarray(prompt),
+            jnp.asarray(prompt_lens), jnp.asarray(target_totals),
+            jax.random.PRNGKey(0))
+    out_a = engine.decode_tokens(params, cfg, dcfg, *args)
+    fused = t5gemma.fuse_for_decode(params)
+    out_b = engine.decode_tokens(fused, cfg, dcfg, *args)
+    np.testing.assert_array_equal(np.asarray(out_a.tokens),
+                                  np.asarray(out_b.tokens))
