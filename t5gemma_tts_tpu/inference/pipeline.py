@@ -71,7 +71,20 @@ class TTSPipeline:
         text_tokenizer: Callable[[str], List[int]],
         audio_tokenizer: Optional[AudioTokenizer] = None,
         audio_max_length: float = 120.0,
+        fuse_matmuls: bool = True,
+        int8: bool = False,
     ):
+        import jax as _jax
+
+        if fuse_matmuls:
+            from ..models.t5gemma import fuse_for_decode
+
+            params = _jax.jit(fuse_for_decode, donate_argnums=0)(params)
+        if int8:
+            from ..ops.quant import quantize_params_for_decode
+
+            params = _jax.jit(quantize_params_for_decode,
+                              donate_argnums=0)(params)
         self.params = params
         self.cfg = cfg
         self.encode_text = text_tokenizer
