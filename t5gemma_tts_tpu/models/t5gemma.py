@@ -431,6 +431,8 @@ def decoder_forward(
         h = layer_tail(h, lp, xk, xv)
         return (h, k_all, v_all), None
 
+    # NOTE: unroll>1 here measures ~60% SLOWER — it breaks the in-place
+    # aliasing of the cache carry and reintroduces full-cache copies.
     (h, new_k, new_v), _ = jax.lax.scan(
         body, (h, cache.self_k, cache.self_v),
         (params["layers"], sliding_flags, layer_ids, (cross_k, cross_v)),
