@@ -32,6 +32,10 @@ def main():
                     help="quantize decoder weights to int8 (Pallas W8A16)")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable fused qkv/gate_up decode matmuls")
+    ap.add_argument("--mode", default="throughput",
+                    choices=["throughput", "latency"],
+                    help="latency: batch-1 p50 single-utterance wall time "
+                         "(BASELINE.md per-config latency metric)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +60,7 @@ def main():
 
     sr = int(cfg.encodec_sr)
     frames = int(sr * args.seconds)
-    b = args.batch
+    b = 1 if args.mode == "latency" else args.batch
     max_frames = frames + sr + 16  # small stop-rule slack
 
     params = jax.jit(lambda k: voice.init_params(k, cfg))(jax.random.PRNGKey(0))
@@ -123,6 +127,29 @@ def main():
     rtf = audio_secs / elapsed
     tokens_per_sec = total_tokens / elapsed
     steps = int(out.steps)
+
+    if args.mode == "latency":
+        lats = []
+        for i in range(5):
+            t0 = time.time()
+            out = run(params, x, x_lens, prompt, prompt_lens, targets,
+                      jax.random.fold_in(key, 100 + i))
+            if not args.skip_vocoder:
+                force(voc(cparams, out.tokens % ccfg.fsq.codebook_size))
+            else:
+                force(out.tokens)
+            lats.append(time.time() - t0)
+        p50 = sorted(lats)[len(lats) // 2]
+        print(json.dumps({
+            "metric": "p50_utterance_latency_sec",
+            "value": round(p50, 3),
+            "unit": "seconds",
+            "vs_baseline": round((args.seconds / 30.0) / p50, 3),
+            "utterance_sec": args.seconds,
+            "device": str(dev),
+            "preset": args.preset,
+        }))
+        return
 
     print(json.dumps({
         "metric": "decode_rtf_audio_sec_per_wall_sec",

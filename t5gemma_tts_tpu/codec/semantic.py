@@ -20,7 +20,7 @@ distance embedding exactly like HF's ``position_embeddings_type='relative_key'``
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -100,6 +100,8 @@ def backbone_preset(name: str) -> BackboneConfig:
     """
     presets = {
         "2b-2b": ModuleDims(),
+        # approximate dims for google/t5gemma-b-b (not verifiable in a
+        # zero-egress build); the 2b-2b preset is the recipe flagship
         "b-b": ModuleDims(
             hidden_size=768,
             intermediate_size=6144,
