@@ -202,7 +202,10 @@ def decode_tokens(
         logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
         step_rng = jax.random.fold_in(rng, st.step)
 
-        if dcfg.top_k and dcfg.top_k > 0:
+        # min_p bypasses top-k/top-p in the reference and can keep more
+        # than k+2 survivors, so it routes through the exact full-vocab
+        # path; the candidate fast path covers the standard top-k decode.
+        if dcfg.top_k and dcfg.top_k > 0 and not (0.0 < dcfg.min_p < 1.0):
             # one vocab-wide pass: raw top-(k+2) candidates; every
             # adjustment only lowers at most two tokens (EOG + repeated
             # silence), so the adjusted top-k lives inside this set —
@@ -227,21 +230,11 @@ def decode_tokens(
                                 vals / jnp.maximum(factor, 1.0)[:, None])
                 vals = jnp.where(at_prev & active[:, None], pen, vals)
 
-            min_p_mask = min_p_active = None
-            if 0.0 < dcfg.min_p < 1.0:
-                lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1,
-                                       keepdims=True)
-                probs = jnp.exp(vals - lse)
-                min_p_mask = probs < dcfg.min_p
-                # at least one survivor everywhere (reference torch.all check)
-                min_p_active = jnp.all(jnp.exp(vals[:, :1] - lse) >= dcfg.min_p)
-
             b_idx = jnp.arange(vals.shape[0])
             argmax_tok = idx[b_idx, jnp.argmax(vals, axis=-1)]
             token = sampling.sample_from_candidates(
                 step_rng, vals, idx, top_k=dcfg.top_k, top_p=dcfg.top_p,
                 temperature=dcfg.temperature,
-                min_p_mask=min_p_mask, min_p_active=min_p_active,
             )
         else:
             adjusted = _adjust_logits(cfg, dcfg, logits.astype(jnp.float32),
