@@ -203,3 +203,39 @@ def test_fused_params_match_unfused():
     out_b = engine.decode_tokens(fused, cfg, dcfg, *args)
     np.testing.assert_array_equal(np.asarray(out_a.tokens),
                                   np.asarray(out_b.tokens))
+
+
+def test_randomized_oracle_sweep():
+    """Randomized shapes/prompts/seeds: cached engine == no-cache oracle."""
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        cfg = tiny_voice_config(extra_cutoff=0.0)
+        params = voice.init_params(jax.random.PRNGKey(100 + trial), cfg)
+        b = int(rng.integers(1, 4))
+        tx = int(rng.integers(3, 9))
+        p_max = int(rng.integers(2, 6))
+        x = rng.integers(3, cfg.text_vocab_size, (b, tx)).astype(np.int32)
+        x_lens = rng.integers(2, tx + 1, b).astype(np.int32)
+        prompt = rng.integers(0, cfg.audio_vocab_size, (b, p_max)).astype(np.int32)
+        prompt_lens = rng.integers(0, p_max + 1, b).astype(np.int32)
+        for i in range(b):
+            prompt[i, prompt_lens[i]:] = cfg.special.pad
+        target_totals = (prompt_lens
+                         + rng.integers(3, 10, b)).astype(np.int32)
+        dcfg = DecodeConfig(top_k=1, top_p=1.0, temperature=1.0, max_frames=20)
+        out = engine.decode_tokens(
+            params, cfg, dcfg,
+            jnp.asarray(x), jnp.asarray(x_lens),
+            jnp.asarray(prompt), jnp.asarray(prompt_lens),
+            jnp.asarray(target_totals), jax.random.PRNGKey(trial),
+        )
+        oracle = _greedy_oracle(cfg, dcfg, params, x, x_lens, prompt,
+                                prompt_lens, target_totals)
+        toks = np.asarray(out.tokens)
+        lens = np.asarray(out.gen_lens)
+        for i in range(b):
+            got = list(toks[i, :lens[i]])
+            assert got == oracle[i], (
+                f"trial {trial} row {i} (p={prompt_lens[i]}, "
+                f"tt={target_totals[i]}): {got} != {oracle[i]}"
+            )
