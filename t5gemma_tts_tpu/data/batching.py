@@ -51,18 +51,22 @@ class BucketPlan:
 
 def make_plan(lengths: Sequence[int], max_batch_tokens: int,
               num_buckets: int, max_len: Optional[int] = None,
-              round_to: int = 32) -> BucketPlan:
+              round_to: int = 32, batch_multiple: int = 1) -> BucketPlan:
+    """``batch_multiple``: bucket batch sizes are rounded up to a multiple of
+    the mesh's data-parallel size so sharded batches divide evenly."""
     lengths = np.asarray(lengths)
     cap = int(max_len if max_len is not None else lengths.max())
     boundaries = lognorm_bucket_boundaries(min(int(lengths.max()), cap),
                                            num_buckets)
     pad_lens, batch_sizes = [], []
     bounds = list(boundaries) + [cap]
+    m = max(1, batch_multiple)
     for b in bounds:
         pad = int(math.ceil(min(b, cap) / round_to) * round_to)
         pad = max(pad, round_to)
         pad_lens.append(pad)
-        batch_sizes.append(max(1, int(max_batch_tokens / pad)))
+        bs = max(1, int(max_batch_tokens / pad))
+        batch_sizes.append(int(math.ceil(bs / m) * m))
     return BucketPlan(boundaries=boundaries, batch_sizes=batch_sizes,
                       pad_lens=pad_lens)
 

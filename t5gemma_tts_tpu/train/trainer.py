@@ -154,9 +154,11 @@ class Trainer:
             self._step_fn = train_step.compile_train_step(cfg, self.ocfg)
         self._eval_fn = jax.jit(train_step.make_eval_step(cfg))
 
+        dp = mesh.devices.shape[0] if mesh is not None else 1
         self.plan = batching.make_plan(
             train_ds.lengths, tcfg.max_num_tokens, tcfg.num_buckets,
             max_len=int(train_ds.cfg.audio_max_length * train_ds.cfg.encodec_sr),
+            batch_multiple=dp,
         )
         self.sampler = batching.BucketBatchSampler(
             train_ds.lengths, self.plan, shuffle=True, seed=tcfg.seed,
@@ -165,6 +167,7 @@ class Trainer:
             self.val_plan = batching.make_plan(
                 valid_ds.lengths, tcfg.val_max_num_tokens, tcfg.num_buckets,
                 max_len=int(valid_ds.cfg.audio_max_length * valid_ds.cfg.encodec_sr),
+                batch_multiple=dp,
             )
 
         self.progress: Dict[str, Any] = {
