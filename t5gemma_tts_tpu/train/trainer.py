@@ -170,6 +170,12 @@ class Trainer:
                 batch_multiple=dp,
             )
 
+        from ..utils.profiling import param_count_breakdown
+
+        counts = param_count_breakdown(self.state.params)
+        log.info("parameter counts: %s",
+                 {k: f"{v/1e6:.1f}M" for k, v in counts.items()})
+
         self.progress: Dict[str, Any] = {
             "step": 0, "epoch": 0, "cur_step": 0,
             "best_step": 0, "best_score": float("inf"),

@@ -80,3 +80,20 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def param_count_breakdown(params) -> Dict[str, int]:
+    """Per-subtree parameter counts (reference steps/trainer_utils.py:194-207
+    ``print_model_info``)."""
+    import jax
+    import numpy as np
+
+    counts: Dict[str, int] = {}
+    total = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        key = getattr(path[0], "key", "params") if path else "params"
+        n = int(np.prod(leaf.shape)) if hasattr(leaf, "shape") else 0
+        counts[key] = counts.get(key, 0) + n
+        total += n
+    counts["total"] = total
+    return counts

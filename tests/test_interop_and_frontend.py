@@ -120,3 +120,25 @@ def test_train_cli_parser():
     assert args.optimizer_name == "AdamW"
     assert args.audio_vocab_size == 65536
     assert args.x_sep_token == 255999
+
+
+def test_lora_checkpoint_merge_on_load():
+    """peft-style LoRA state dicts merge into plain weights
+    (reference models/t5gemma.py:458-491 key layout)."""
+    from t5gemma_tts_tpu.models.convert import _merge_lora
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(8, 6)).astype(np.float32)
+    a = rng.normal(size=(2, 6)).astype(np.float32)   # lora_A [r, in]
+    b = rng.normal(size=(8, 2)).astype(np.float32)   # lora_B [out, r]
+    sd = {
+        "backbone.model.encoder.layers.0.self_attn.q_proj.base_layer.weight": w,
+        "backbone.model.encoder.layers.0.self_attn.q_proj.lora_A.default.weight": a,
+        "backbone.model.encoder.layers.0.self_attn.q_proj.lora_B.default.weight": b,
+        "other.weight": np.ones((3,), np.float32),
+    }
+    merged = _merge_lora(sd)
+    key = "backbone.model.encoder.layers.0.self_attn.q_proj.weight"
+    assert key in merged
+    np.testing.assert_allclose(merged[key], w + 2.0 * (b @ a), rtol=1e-6)
+    assert not any("lora" in k for k in merged)
