@@ -89,3 +89,27 @@ def test_sharded_decode_runs():
     )
     lens = np.asarray(out.gen_lens)
     assert (lens > 0).all()
+
+
+def test_tensor_parallel_decode_matches_single_device():
+    from t5gemma_tts_tpu.config import DecodeConfig
+    from t5gemma_tts_tpu.decode import engine
+
+    cfg = tiny_voice_config(extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(4)
+    b = 2
+    x = jnp.asarray(rng.integers(3, cfg.text_vocab_size, (b, 6)).astype(np.int32))
+    x_lens = jnp.full((b,), 6, jnp.int32)
+    prompt = jnp.full((b, 4), cfg.special.pad, jnp.int32)
+    prompt_lens = jnp.zeros((b,), jnp.int32)
+    targets = jnp.full((b,), 10, jnp.int32)
+    dcfg = DecodeConfig(top_k=1, temperature=1.0, max_frames=14)
+    args = (x, x_lens, prompt, prompt_lens, targets, jax.random.PRNGKey(0))
+
+    ref = engine.decode_tokens(params, cfg, dcfg, *args)
+
+    mesh = parallel.make_mesh(dp=2, tp=4)
+    sp = parallel.shard_params(params, mesh)
+    got = engine.decode_tokens(sp, cfg, dcfg, *args)
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
