@@ -302,6 +302,60 @@ def adamw_update(grads: PyTree, state: AdamWState, params: PyTree,
 
 
 # ---------------------------------------------------------------------------
+# Eve (reference baseline optimizer, steps/optim.py:869-1018): AdamW whose
+# weight decay only applies while a tensor's rms exceeds target_rms
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EveConfig:
+    betas: Tuple[float, float] = (0.9, 0.98)
+    eps: float = 1e-8
+    weight_decay: float = 1e-3
+    target_rms: float = 0.1
+
+
+def eve_init(params: PyTree) -> AdamWState:
+    return adamw_init(params)
+
+
+def eve_update(grads: PyTree, state: AdamWState, params: PyTree,
+               lr: jnp.ndarray, cfg: EveConfig):
+    b1, b2 = cfg.betas
+    step = state.step + 1
+    bc1 = 1 - b1 ** step.astype(jnp.float32)
+    bc2 = 1 - b2 ** step.astype(jnp.float32)
+
+    def upd(p, g, m, v):
+        g = g.astype(jnp.float32)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        denom = jnp.sqrt(v) * bc2 ** -0.5 + cfg.eps
+        p32 = p.astype(jnp.float32)
+        if int(jnp.size(p)) > 1:
+            above = jnp.linalg.norm(p32.reshape(-1)) > (
+                cfg.target_rms * jnp.size(p) ** 0.5
+            )
+            p32 = p32 * (1 - cfg.weight_decay * above.astype(jnp.float32))
+        p32 = p32 - (lr / bc1) * m / denom
+        return p32.astype(p.dtype), m, v
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state.mu)
+    flat_v = treedef.flatten_up_to(state.nu)
+    out = [upd(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    return (
+        jax.tree_util.tree_unflatten(treedef, [o[0] for o in out]),
+        AdamWState(
+            step=step,
+            mu=jax.tree_util.tree_unflatten(treedef, [o[1] for o in out]),
+            nu=jax.tree_util.tree_unflatten(treedef, [o[2] for o in out]),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # schedules
 # ---------------------------------------------------------------------------
 

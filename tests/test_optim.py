@@ -117,3 +117,42 @@ def test_scaled_adam_parity_with_reference(clipping):
         got = np.asarray(jparams[k])
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5,
                                    err_msg=f"param {k} diverged")
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference snapshot not mounted")
+def test_eve_parity_with_reference():
+    import sys
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REFERENCE)
+    try:
+        from steps.optim import Eve as TorchEve
+    finally:
+        sys.path.remove(REFERENCE)
+
+    rng = np.random.default_rng(1)
+    shapes = {"a": (6, 5), "b": (7,)}
+    init_vals = {k: rng.normal(size=s).astype(np.float32)
+                 for k, s in shapes.items()}
+    tparams = {k: torch.nn.Parameter(torch.tensor(v))
+               for k, v in init_vals.items()}
+    topt = TorchEve(list(tparams.values()), lr=3e-3, betas=(0.9, 0.98),
+                    weight_decay=1e-3, target_rms=0.1)
+    cfg = optim.EveConfig()
+    jparams = {k: jnp.asarray(v) for k, v in init_vals.items()}
+    jstate = optim.eve_init(jparams)
+    for _ in range(12):
+        grads = {k: rng.normal(size=s).astype(np.float32)
+                 for k, s in shapes.items()}
+        for k, p in tparams.items():
+            p.grad = torch.tensor(grads[k])
+        topt.step(); topt.zero_grad()
+        jparams, jstate = optim.eve_update(
+            {k: jnp.asarray(v) for k, v in grads.items()},
+            jstate, jparams, jnp.float32(3e-3), cfg,
+        )
+    for k in shapes:
+        np.testing.assert_allclose(np.asarray(jparams[k]),
+                                   tparams[k].detach().numpy(),
+                                   rtol=2e-4, atol=2e-5)
