@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_lora", type=int, default=0)
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=int, default=32)
+    # validation-generation diagnostics (reference trainer.py:668-890)
+    p.add_argument("--val_generation_text", default=None,
+                   help="synthesize this text every inference_every_n_steps "
+                        "and dump stats/wav (audio decode needs --codec_dir)")
+    p.add_argument("--codec_dir", default=None,
+                   help="local XCodec2 safetensors dir for diagnostics decode")
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
     return p
@@ -219,8 +225,26 @@ def main(argv: Optional[list] = None):
     tb = MultiLogger(args.exp_dir, use_wandb=bool(os.environ.get("WANDB_MODE")),
                      config=vars(args))
 
+    generation_hook = None
+    if args.val_generation_text:
+        from ..train.diagnostics import make_generation_hook
+
+        audio_tok = None
+        if args.codec_dir:
+            from argparse import Namespace
+
+            from ..inference.cli import _load_codec
+
+            audio_tok = _load_codec(
+                Namespace(codec_dir=args.codec_dir, random_codec=False,
+                          xcodec2_model_name=None), {})
+        generation_hook = make_generation_hook(
+            cfg, text_tokenizer, args.val_generation_text, args.exp_dir,
+            audio_tokenizer=audio_tok, tb_writer=tb,
+        )
+
     trainer = Trainer(cfg, tcfg, train_ds, valid_ds, params=params, mesh=mesh,
-                      tb_writer=tb)
+                      tb_writer=tb, generation_hook=generation_hook)
     progress = trainer.train()
     log.info("training done: %s", progress)
 
