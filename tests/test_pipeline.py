@@ -107,3 +107,17 @@ def test_resample_preserves_tone():
     spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
     peak = np.argmax(spec) * sr2 / len(out)
     assert abs(peak - 440) < 5
+
+
+def test_pipeline_seed_determinism(tiny_pipeline):
+    req = Request(target_text="determinism check", target_duration=0.4)
+    dcfg = DecodeConfig(top_k=4, temperature=1.0, max_frames=64)
+    r1 = tiny_pipeline.synthesize(req, dcfg, seed=7, quiet=True,
+                                  decode_audio=False)
+    r2 = tiny_pipeline.synthesize(req, dcfg, seed=7, quiet=True,
+                                  decode_audio=False)
+    r3 = tiny_pipeline.synthesize(req, dcfg, seed=8, quiet=True,
+                                  decode_audio=False)
+    np.testing.assert_array_equal(r1.gen_frames, r2.gen_frames)
+    assert not (len(r1.gen_frames) == len(r3.gen_frames)
+                and (r1.gen_frames == r3.gen_frames).all())
