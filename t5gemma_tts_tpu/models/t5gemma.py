@@ -424,8 +424,13 @@ def decoder_forward(
         k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
 
-        out = gqa_attention(q, ck.astype(h.dtype), cv.astype(h.dtype), bias,
-                            dims.q_scale, dims.attn_logit_softcap)
+        # NOTE(perf): a flash-style chunk-skipping attention over the cache
+        # (lax.cond skipping unwritten chunks) measured SLOWER than the dense
+        # read at batch 64 / T=567 (26.4x vs 31.6x RTF): the per-chunk
+        # control flow serializes the layer and defeats XLA's overlap. Dense
+        # cache reads stay until a fused Pallas decode kernel exists.
+        out = gqa_attention(q, ck.astype(h.dtype), cv.astype(h.dtype),
+                            bias, dims.q_scale, dims.attn_logit_softcap)
         a = _mm(_merge_heads(out), lp["self_attn"]["o"])
         h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
         h = layer_tail(h, lp, xk, xv)

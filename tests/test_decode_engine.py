@@ -239,3 +239,4 @@ def test_randomized_oracle_sweep():
                 f"trial {trial} row {i} (p={prompt_lens[i]}, "
                 f"tt={target_totals[i]}): {got} != {oracle[i]}"
             )
+
