@@ -45,7 +45,7 @@ class AudioTokenizer:
         self.channels = 1
         self._decode_fn = jax.jit(
             partial(model_mod.decode_code, cfg=self.cfg)
-        )
+        )  # (params, codes, lengths)
         self._encode_fn = jax.jit(
             partial(model_mod.encode_waveform, cfg=self.cfg)
         )
@@ -70,15 +70,24 @@ class AudioTokenizer:
         t = min(t, codes.shape[1])
         return codes[:, :t, None].astype(np.int64)
 
-    def decode(self, frames: np.ndarray) -> np.ndarray:
-        """frames: [B, K=1, T] or [B, T] int codes -> waveform [B, 1, S]."""
+    def decode(self, frames: np.ndarray,
+               lengths: Optional[np.ndarray] = None) -> np.ndarray:
+        """frames: [B, K=1, T] or [B, T] int codes -> waveform [B, 1, S].
+
+        Length-bucketed and exact: the vocoder masks features beyond ``t``
+        per block, so the result equals an unpadded decode."""
         frames = np.asarray(frames)
         if frames.ndim == 3:
             frames = frames[:, 0]
         t = frames.shape[1]
+        if lengths is None:
+            lengths = np.full((frames.shape[0],), t, np.int32)
         pad_to = _bucket(t)
         padded = np.pad(frames, ((0, 0), (0, pad_to - t)))
-        wav = np.asarray(self._decode_fn(self.params, codes=jnp.asarray(padded)))
+        wav = np.asarray(self._decode_fn(
+            self.params, codes=jnp.asarray(padded),
+            lengths=jnp.asarray(lengths, jnp.int32),
+        ))
         return wav[:, None, : t * self.cfg.hop_length]
 
 

@@ -95,14 +95,15 @@ def init_decoder_params(rng: jax.Array, cfg: XCodec2Config,
 
 
 def decode_code(params: PyTree, cfg: XCodec2Config,
-                codes: jnp.ndarray) -> jnp.ndarray:
+                codes: jnp.ndarray, lengths=None) -> jnp.ndarray:
     """codes: int [B, T] -> waveform [B, T * hop] at cfg.sample_rate.
 
     Mirrors XCodec2Model.decode_code: quantizer.get_output_from_indices ->
-    fc_post_a -> generator."""
+    fc_post_a -> generator. ``lengths`` makes length-bucketed decode exact
+    (see vocos.backbone)."""
     emb = fsq_mod.decode(params["fsq"], cfg.fsq, codes)       # [B, T, fsq.dim]
     feats = emb @ params["fc_post_a"]["w"] + params["fc_post_a"]["b"]
-    return vocos_mod.vocode(params["vocos"], feats, cfg.vocos)
+    return vocos_mod.vocode(params["vocos"], feats, cfg.vocos, lengths)
 
 
 def jitted_decode_code(params: PyTree, cfg: XCodec2Config):

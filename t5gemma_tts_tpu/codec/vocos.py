@@ -127,13 +127,29 @@ def convnext_block(p: Dict, x: jnp.ndarray, cfg: VocosConfig) -> jnp.ndarray:
     return r + p["gamma"] * h
 
 
-def backbone(params: Dict, x: jnp.ndarray, cfg: VocosConfig) -> jnp.ndarray:
-    """x: [B, T, input_dim] -> [B, T, dim]."""
+def backbone(params: Dict, x: jnp.ndarray, cfg: VocosConfig,
+             lengths=None) -> jnp.ndarray:
+    """x: [B, T, input_dim] -> [B, T, dim].
+
+    ``lengths`` re-masks features to zero beyond each row's true length after
+    the embed conv and every block, so decoding a padded buffer is *exactly*
+    the decode of the unpadded sequence (SAME-conv boundaries see zeros in
+    both cases) — required for length-bucketed batch decode."""
+    if lengths is not None:
+        t = x.shape[1]
+        valid = (jnp.arange(t)[None, :] < lengths[:, None])[..., None]
+        x = jnp.where(valid, x, 0.0)
+
     h = conv1d_same(x, params["embed"]["w"], params["embed"]["b"])
     h = layer_norm(params["norm"], h, cfg.eps)
+    if lengths is not None:
+        h = jnp.where(valid, h, 0.0)
 
     def body(h, bp):
-        return convnext_block(bp, h, cfg), None
+        h = convnext_block(bp, h, cfg)
+        if lengths is not None:
+            h = jnp.where(valid, h, 0.0)
+        return h, None
 
     h, _ = jax.lax.scan(body, h, params["blocks"])
     return layer_norm(params["final_norm"], h, cfg.eps)
@@ -195,32 +211,49 @@ def irfft_matmul(spec_real: jnp.ndarray, spec_imag: jnp.ndarray,
 
 
 def istft_same(spec_real: jnp.ndarray, spec_imag: jnp.ndarray,
-               cfg: VocosConfig) -> jnp.ndarray:
-    """Vocos "same"-padded ISTFT. spec_*: [B, T, n_fft//2 + 1] -> [B, T*hop]."""
+               cfg: VocosConfig, frame_lengths=None) -> jnp.ndarray:
+    """Vocos "same"-padded ISTFT. spec_*: [B, T, n_fft//2 + 1] -> [B, T*hop].
+
+    With ``frame_lengths`` [B], frames beyond each row's length are zeroed and
+    excluded from the window envelope, so a padded buffer reproduces the
+    unpadded decode exactly up to length*hop."""
     n_fft, hop = cfg.n_fft, cfg.hop_length
+    b, t = spec_real.shape[:2]
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
     frames = irfft_matmul(spec_real, spec_imag, n_fft) * window  # [B, T, n_fft]
-    audio = overlap_add(frames, hop)
 
-    t = spec_real.shape[1]
-    win_sq = jnp.broadcast_to(window ** 2, (1, t, n_fft))
-    env = overlap_add(win_sq, hop)[0]
+    if frame_lengths is not None:
+        valid = (jnp.arange(t)[None, :] < frame_lengths[:, None])[..., None]
+        frames = jnp.where(valid, frames, 0.0)
+        win_sq = jnp.where(valid, window ** 2, 0.0)        # [B, T, n_fft]
+        env = overlap_add(win_sq, hop)                      # [B, S]
+    else:
+        win_sq = jnp.broadcast_to(window ** 2, (1, t, n_fft))
+        env = overlap_add(win_sq, hop)                      # [1, S]
+
+    audio = overlap_add(frames, hop)
     pad = (n_fft - hop) // 2
     audio = audio[:, pad:audio.shape[1] - pad]
-    env = env[pad:env.shape[0] - pad]
+    env = env[:, pad:env.shape[1] - pad]
     env = jnp.maximum(env, 1e-11)
     return audio / env
 
 
-def head(params: Dict, x: jnp.ndarray, cfg: VocosConfig) -> jnp.ndarray:
+def head(params: Dict, x: jnp.ndarray, cfg: VocosConfig,
+         lengths=None) -> jnp.ndarray:
     """Backbone features [B, T, dim] -> waveform [B, T*hop]."""
     h = x @ params["head"]["w"] + params["head"]["b"]  # [B, T, n_fft+2]
     half = cfg.n_fft // 2 + 1
     mag = jnp.exp(jnp.clip(h[..., :half].astype(jnp.float32), max=100.0))
     phase = h[..., half:].astype(jnp.float32)
-    return istft_same(mag * jnp.cos(phase), mag * jnp.sin(phase), cfg)
+    return istft_same(mag * jnp.cos(phase), mag * jnp.sin(phase), cfg,
+                      frame_lengths=lengths)
 
 
-def vocode(params: Dict, features: jnp.ndarray, cfg: VocosConfig) -> jnp.ndarray:
-    """Full decode: quantizer-output features [B, T, input_dim] -> waveform."""
-    return head(params, backbone(params, features, cfg), cfg)
+def vocode(params: Dict, features: jnp.ndarray, cfg: VocosConfig,
+           lengths=None) -> jnp.ndarray:
+    """Full decode: quantizer-output features [B, T, input_dim] -> waveform.
+    With ``lengths``, samples beyond length*hop are garbage to be trimmed;
+    samples inside are exact (see backbone)."""
+    return head(params, backbone(params, features, cfg, lengths), cfg,
+                lengths)

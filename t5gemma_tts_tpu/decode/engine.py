@@ -14,7 +14,10 @@ row has emitted EOG.  Differences from the reference by design:
   (models/t5gemma.py:1020); here the whole loop is traced, so the only
   host<->device traffic is the final token buffer;
 - **static shapes**: text length, prompt length and the generation buffer are
-  bucketed; ``est_total``/budgets are dynamic per-row scalars.
+  bucketed; ``est_total``/budgets are dynamic per-row scalars;
+- **segmentable**: ``prefill`` + ``run_segment`` expose the same loop in
+  bounded slices for streaming synthesis (tokens surface every N steps and
+  feed the streaming vocoder while generation continues).
 
 Stop-rule semantics are carried over exactly (same guard order and values,
 reference models/t5gemma.py:971-1055):
@@ -93,21 +96,24 @@ def _adjust_logits(
     return logits
 
 
-def decode_tokens(
+# ---------------------------------------------------------------------------
+# prefill
+# ---------------------------------------------------------------------------
+
+
+def prefill(
     params: PyTree,
     cfg: VoiceConfig,
     dcfg: DecodeConfig,
     x: jnp.ndarray,             # [B, Tx] text ids (prefix + x_sep + target...)
     x_lens: jnp.ndarray,        # [B]
-    prompt: jnp.ndarray,        # [B, P] codec prompt tokens (incl. y_sep), pad-filled
+    prompt: jnp.ndarray,        # [B, P] codec prompt tokens (incl. y_sep)
     prompt_lens: jnp.ndarray,   # [B] frames in each prompt (0 = no reference)
     target_totals: jnp.ndarray, # [B] tgt_y_lens: prompt + sr * target_secs
-    rng: jax.Array,
-) -> DecodeOutputs:
-    """Full batched synthesis of audio tokens. Pure function of its inputs;
-    wrap with :func:`jitted_decoder` for the compiled/bucketed entry point."""
+) -> _LoopState:
+    """Encode text, precompute cross-KV, and prefill the prompt into the KV
+    cache; returns the loop state at step 0."""
     s = cfg.special
-    eog = cfg.eog_inference
     dims = cfg.backbone.decoder
     b, p_max = prompt.shape
     max_steps = dcfg.max_frames
@@ -123,7 +129,6 @@ def decode_tokens(
     bos = jnp.full((b, 1), s.empty, prompt.dtype)
     cated = jnp.concatenate([bos, prompt], axis=1)          # [B, P+1]
     cated_lens = prompt_lens + 1
-    prompt_offset = prompt_lens + 1                          # reference :921
 
     # est_total per row (reference :925-933): target_total + 1, >= current len
     est_total = jnp.maximum(target_totals + 1, cated_lens)
@@ -167,17 +172,7 @@ def decode_tokens(
         hidden, (cated_lens - 1)[:, None, None], axis=1
     )  # [B, 1, D]
 
-    # ---- budgets (static config, dynamic per-row values) ------------------
-    sr = int(cfg.encodec_sr)
-    time_budget = target_totals - prompt_offset + jnp.int32(sr * cfg.extra_cutoff)
-    if cfg.text_guard_frames_per_token > 0:
-        text_budget = jnp.maximum(1, x_lens) * cfg.text_guard_frames_per_token
-    else:
-        text_budget = jnp.full_like(x_lens, jnp.iinfo(jnp.int32).max // 2)
-
-    cross_bias_step = mask_ops.cross_bias(x_lens, 1, x.shape[1])
-
-    state = _LoopState(
+    return _LoopState(
         cache=cache,
         last_hidden=last_hidden,
         tokens=jnp.full((b, max_steps), s.pad, jnp.int32),
@@ -189,16 +184,39 @@ def decode_tokens(
         gen_lens=jnp.zeros((b,), jnp.int32),
     )
 
+
+# ---------------------------------------------------------------------------
+# the per-step body (shared by full decode and streaming segments)
+# ---------------------------------------------------------------------------
+
+
+def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
+               x_lens, prompt_lens, target_totals, rng):
+    s = cfg.special
+    eog = cfg.eog_inference
+    dims = cfg.backbone.decoder
+    compute_dtype = jnp.dtype(cfg.dtype)
+    max_steps = dcfg.max_frames
+    sr = int(cfg.encodec_sr)
+    sr_fifth = sr // 5
+    vocab = cfg.audio_embedding_vocab
+
+    prompt_offset = prompt_lens + 1                          # reference :921
+    est_total = jnp.maximum(target_totals + 1, prompt_lens + 1)
+    time_budget = target_totals - prompt_offset + jnp.int32(sr * cfg.extra_cutoff)
+    if cfg.text_guard_frames_per_token > 0:
+        text_budget = jnp.maximum(1, x_lens) * cfg.text_guard_frames_per_token
+    else:
+        text_budget = jnp.full_like(x_lens, jnp.iinfo(jnp.int32).max // 2)
+
     silence = jnp.asarray(dcfg.silence_tokens, jnp.int32) if dcfg.silence_tokens \
         else None
 
-    def cond(st: _LoopState):
-        return (st.step < max_steps) & ~jnp.all(st.done)
-
-    sr_fifth = int(cfg.encodec_sr) // 5
-    vocab = cfg.audio_embedding_vocab
-
     def body(st: _LoopState) -> _LoopState:
+        t_max = st.cache.self_k.shape[3]
+        t_enc = st.cache.cross_k.shape[3]
+        cross_bias_step = mask_ops.cross_bias(x_lens, 1, t_enc)
+
         logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
         step_rng = jax.random.fold_in(rng, st.step)
 
@@ -218,9 +236,8 @@ def decode_tokens(
             vals = jnp.where(is_eog & (st.step <= sr_fifth), -10000.0, vals)
             vals = jnp.where(is_eog & (st.step == 0), -1e9, vals)
             if dcfg.stop_repetition > 0 and dcfg.silence_tokens:
-                silence_arr = jnp.asarray(dcfg.silence_tokens)
                 prev_is_sil = jnp.any(
-                    st.prev_token[:, None] == silence_arr[None, :], axis=1
+                    st.prev_token[:, None] == silence[None, :], axis=1
                 )
                 active = prev_is_sil & (st.consec_silence > dcfg.stop_repetition)
                 factor = (st.consec_silence
@@ -288,7 +305,7 @@ def decode_tokens(
             cross_bias=cross_bias_step,
             position_ids=pos,
             pm_decoder_positions=pos if cfg.use_pm_rope else None,
-            cross_k=cross_k, cross_v=cross_v,
+            cross_k=st.cache.cross_k, cross_v=st.cache.cross_v,
             cache=st.cache,
             cache_pos=st.current_length,
         )
@@ -306,10 +323,65 @@ def decode_tokens(
             gen_lens=gen_lens,
         )
 
+    return body
+
+
+# ---------------------------------------------------------------------------
+# full decode + streaming segments
+# ---------------------------------------------------------------------------
+
+
+def decode_tokens(
+    params: PyTree,
+    cfg: VoiceConfig,
+    dcfg: DecodeConfig,
+    x: jnp.ndarray,
+    x_lens: jnp.ndarray,
+    prompt: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    target_totals: jnp.ndarray,
+    rng: jax.Array,
+) -> DecodeOutputs:
+    """Full batched synthesis of audio tokens. Pure function of its inputs;
+    wrap with :func:`jitted_decoder` for the compiled/bucketed entry point."""
+    state = prefill(params, cfg, dcfg, x, x_lens, prompt, prompt_lens,
+                    target_totals)
+    body = _make_body(params, cfg, dcfg, x_lens, prompt_lens, target_totals,
+                      rng)
+    max_steps = dcfg.max_frames
+
+    def cond(st: _LoopState):
+        return (st.step < max_steps) & ~jnp.all(st.done)
+
     final = jax.lax.while_loop(cond, body, state)
     gen_lens = jnp.where(final.done, final.gen_lens, final.step)
     return DecodeOutputs(tokens=final.tokens, gen_lens=gen_lens,
                          steps=final.step)
+
+
+def run_segment(
+    params: PyTree,
+    cfg: VoiceConfig,
+    dcfg: DecodeConfig,
+    state: _LoopState,
+    x_lens: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    target_totals: jnp.ndarray,
+    rng: jax.Array,
+    until: jnp.ndarray,  # scalar: run while step < until (and < max_frames)
+) -> _LoopState:
+    """Advance the decode loop to ``until`` steps; identical semantics to the
+    corresponding slice of :func:`decode_tokens` (token-exactness is tested).
+    Used for streaming synthesis: tokens surface per segment and feed the
+    streaming vocoder while later segments still generate."""
+    body = _make_body(params, cfg, dcfg, x_lens, prompt_lens, target_totals,
+                      rng)
+    max_steps = dcfg.max_frames
+
+    def cond(st: _LoopState):
+        return (st.step < until) & (st.step < max_steps) & ~jnp.all(st.done)
+
+    return jax.lax.while_loop(cond, body, state)
 
 
 @functools.lru_cache(maxsize=32)
@@ -330,3 +402,11 @@ def jitted_decoder(cfg: VoiceConfig, dcfg: DecodeConfig):
                   rng=rng)
 
     return run
+
+
+@functools.lru_cache(maxsize=32)
+def jitted_segment_fns(cfg: VoiceConfig, dcfg: DecodeConfig):
+    """(prefill_fn, segment_fn) compiled pair for streaming decode."""
+    pf = jax.jit(functools.partial(prefill, cfg=cfg, dcfg=dcfg))
+    sf = jax.jit(functools.partial(run_segment, cfg=cfg, dcfg=dcfg))
+    return pf, sf

@@ -247,3 +247,91 @@ class TTSPipeline:
     def synthesize(self, req: Request, dcfg: Optional[DecodeConfig] = None,
                    **kw) -> SynthesisResult:
         return self.synthesize_batch([req], dcfg, **kw)[0]
+
+    # ------------------------------------------------------------------
+    # streaming synthesis: audio chunks while later tokens still generate
+    # ------------------------------------------------------------------
+
+    def synthesize_streaming(
+        self,
+        req: Request,
+        dcfg: Optional[DecodeConfig] = None,
+        seed: Optional[int] = None,
+        segment_frames: int = 50,
+        vocode_chunk: int = 50,
+    ):
+        """Generator of waveform pieces (np.float32 at the codec sample
+        rate). The decode loop runs in bounded segments (engine.run_segment)
+        and finalized tokens stream through the exact windowed vocoder
+        (codec/streaming.py) — time-to-first-audio is ~1 s of generation
+        instead of the whole utterance. Token stream is identical to
+        ``synthesize`` with the same seed (tested)."""
+        import dataclasses as _dc
+
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from ..codec.streaming import StreamingVocoder
+        from ..decode import engine as _engine
+        from .duration import estimate_duration
+
+        assert self.audio_tokenizer is not None, "streaming needs the codec"
+        dcfg = dcfg or DecodeConfig()
+        cfg = self.cfg
+        s = cfg.special
+        sr = int(cfg.encodec_sr)
+
+        target_secs = req.target_duration
+        if target_secs is None:
+            target_secs = estimate_duration(
+                req.target_text, req.audio_path, req.prompt_transcript,
+                req.lang,
+            )
+        prompt_toks = self._prompt_tokens(req, sr, target_secs)
+        text, _ = self._text_tokens(req)
+        target_total = len(prompt_toks) + int(sr * target_secs)
+
+        tx = _bucket(len(text), TEXT_BUCKETS)
+        p_max = _bucket(max(len(prompt_toks), 1), PROMPT_BUCKETS)
+        need = target_total - len(prompt_toks) + int(sr * cfg.extra_cutoff) + 8
+        max_frames = _bucket(need, FRAME_BUCKETS)
+        dcfg = _dc.replace(dcfg, max_frames=max_frames)
+
+        x = np.zeros((1, tx), np.int32)
+        x[0, : len(text[:tx])] = text[:tx]
+        x_lens = _jnp.asarray([min(len(text), tx)], _jnp.int32)
+        prm = np.full((1, p_max), s.pad, np.int32)
+        prm[0, : len(prompt_toks[:p_max])] = prompt_toks[:p_max]
+        prompt_lens = _jnp.asarray([min(len(prompt_toks), p_max)], _jnp.int32)
+        targets = _jnp.asarray([target_total], _jnp.int32)
+        rng = _jax.random.PRNGKey(dcfg.seed if seed is None else seed)
+
+        pf, sf = _engine.jitted_segment_fns(cfg, dcfg)
+        state = pf(params=self.params, x=_jnp.asarray(x), x_lens=x_lens,
+                   prompt=_jnp.asarray(prm), prompt_lens=prompt_lens,
+                   target_totals=targets)
+
+        sv = StreamingVocoder(self.audio_tokenizer.params,
+                              self.audio_tokenizer.cfg, chunk=vocode_chunk)
+        strip = {s.y_sep, cfg.eog_inference}
+        emitted = 0
+        while True:
+            until = min(int(state.step) + segment_frames, max_frames)
+            state = sf(params=self.params, state=state, x_lens=x_lens,
+                       prompt_lens=prompt_lens, target_totals=targets,
+                       rng=rng, until=_jnp.int32(until))
+            step = int(state.step)
+            done = bool(state.done[0])
+            n_final = int(state.gen_lens[0]) if done else step
+            new = np.asarray(state.tokens[0, emitted:n_final])
+            emitted = n_final
+            new = new[~np.isin(new, list(strip))]
+            if len(new):
+                piece = sv.feed(new)
+                if len(piece):
+                    yield piece
+            if done or step >= max_frames:
+                break
+        tail = sv.flush()
+        if len(tail):
+            yield tail

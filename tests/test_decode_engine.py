@@ -240,3 +240,28 @@ def test_randomized_oracle_sweep():
                 f"tt={target_totals[i]}): {got} != {oracle[i]}"
             )
 
+
+
+def test_segmented_decode_matches_full():
+    """prefill + run_segment slices == one-shot decode_tokens."""
+    cfg, params, x, x_lens, prompt, prompt_lens = _setup(seed=9)
+    target_totals = prompt_lens + np.array([10, 7], np.int32)
+    dcfg = DecodeConfig(top_k=4, top_p=0.9, temperature=0.8, max_frames=20)
+    rng = jax.random.PRNGKey(5)
+    args = (jnp.asarray(x), jnp.asarray(x_lens), jnp.asarray(prompt),
+            jnp.asarray(prompt_lens), jnp.asarray(target_totals))
+
+    full = engine.decode_tokens(params, cfg, dcfg, *args, rng)
+
+    state = engine.prefill(params, cfg, dcfg, *args)
+    for until in (5, 11, 20):
+        state = engine.run_segment(
+            params, cfg, dcfg, state, jnp.asarray(x_lens),
+            jnp.asarray(prompt_lens), jnp.asarray(target_totals), rng,
+            jnp.int32(until),
+        )
+    np.testing.assert_array_equal(np.asarray(full.tokens),
+                                  np.asarray(state.tokens))
+    gen_lens = np.where(np.asarray(state.done), np.asarray(state.gen_lens),
+                        int(state.step))
+    np.testing.assert_array_equal(np.asarray(full.gen_lens), gen_lens)

@@ -42,3 +42,34 @@ def test_streaming_emits_incrementally():
     emitted.append(sv.flush())
     assert got_early_audio, "no audio emitted before the final token"
     assert sum(len(p) for p in emitted) == total * cfg.hop_length
+
+
+def test_pipeline_streaming_matches_batch():
+    """Streamed synthesis == one-shot synthesize (same seed): identical audio."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _char_tokenizer
+
+    from t5gemma_tts_tpu.codec.audio_tokenizer import AudioTokenizer
+    from t5gemma_tts_tpu.codec.model import init_encoder_params_for
+    from t5gemma_tts_tpu.config import DecodeConfig, tiny_voice_config
+    from t5gemma_tts_tpu.inference.pipeline import Request, TTSPipeline
+    from t5gemma_tts_tpu.models import voice
+
+    cfg = tiny_voice_config(extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = tiny_codec_config()
+    tok = AudioTokenizer(init_decoder_params(jax.random.PRNGKey(1), ccfg), ccfg)
+    pipe = TTSPipeline(params, cfg, _char_tokenizer(cfg.text_vocab_size), tok)
+
+    req = Request(target_text="stream me please", target_duration=1.2)
+    dcfg = DecodeConfig(top_k=4, temperature=1.0)
+
+    res = pipe.synthesize(req, dcfg, seed=5, quiet=True)
+    pieces = list(pipe.synthesize_streaming(req, dcfg, seed=5,
+                                            segment_frames=13,
+                                            vocode_chunk=16))
+    assert len(pieces) > 1, "streaming produced a single blob"
+    streamed = np.concatenate(pieces)
+    assert streamed.shape == res.wav.shape
+    np.testing.assert_allclose(streamed, res.wav, rtol=1e-4, atol=1e-5)
