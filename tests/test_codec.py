@@ -179,3 +179,20 @@ def test_convnext_block_matches_torch():
     }
     got = np.asarray(vocos.convnext_block(p, jnp.asarray(x), cfg))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bucketed_decode_equals_unpadded():
+    """AudioTokenizer.decode pads codes to a length bucket; the masked
+    vocoder must make that exactly equal to the unpadded decode (regression:
+    pad tokens used to pollute the audio tail through conv context)."""
+    from t5gemma_tts_tpu.codec.audio_tokenizer import AudioTokenizer
+
+    cfg = tiny_codec_config()
+    params = init_decoder_params(jax.random.PRNGKey(3), cfg)
+    tok = AudioTokenizer(params, cfg)
+    rng = np.random.default_rng(3)
+    t = 77  # forces padding to the 128 bucket
+    codes = rng.integers(0, cfg.fsq.codebook_size, (1, t))
+    bucketed = tok.decode(codes[:, None, :])[0, 0]
+    exact = np.asarray(decode_code(params, cfg, jnp.asarray(codes)))[0]
+    np.testing.assert_allclose(bucketed, exact, rtol=1e-5, atol=1e-6)
