@@ -28,14 +28,25 @@ def main():
     ap.add_argument("--preset", default="2b-2b", choices=["2b-2b", "b-b", "test"])
     ap.add_argument("--text-len", type=int, default=64)
     ap.add_argument("--skip-vocoder", action="store_true")
-    ap.add_argument("--int8", action="store_true",
-                    help="quantize decoder weights to int8 (Pallas W8A16)")
+    ap.add_argument("--int8", dest="int8", action="store_true", default=True,
+                    help="W8A8 int8 decoder weights (default on)")
+    ap.add_argument("--no-int8", dest="int8", action="store_false")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable fused qkv/gate_up decode matmuls")
+    ap.add_argument("--skip-matrix", action="store_true",
+                    help="headline metric only (skip 10s + batch-1 extras)")
     ap.add_argument("--mode", default="throughput",
                     choices=["throughput", "latency"],
                     help="latency: batch-1 p50 single-utterance wall time "
                          "(BASELINE.md per-config latency metric)")
+    ap.add_argument("--kv", default="auto",
+                    choices=["auto", "dense", "paged", "paged_f8"],
+                    help="KV-cache strategy (see DecodeConfig.kv_cache)")
+    ap.add_argument("--approx-topk", dest="approx_topk", action="store_true",
+                    default=True,
+                    help="TPU-native approximate top-k (default on)")
+    ap.add_argument("--no-approx-topk", dest="approx_topk",
+                    action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +98,8 @@ def main():
     import dataclasses
     cfg = dataclasses.replace(cfg, extra_cutoff=0.0)
     dcfg = DecodeConfig(top_k=30, top_p=0.9, temperature=0.8,
-                        max_frames=max_frames)
+                        max_frames=max_frames, kv_cache=args.kv,
+                        approx_top_k=args.approx_topk)
     run = engine.jitted_decoder(cfg, dcfg)
     key = jax.random.PRNGKey(1)
 
@@ -151,7 +163,7 @@ def main():
         }))
         return
 
-    print(json.dumps({
+    record = {
         "metric": "decode_rtf_audio_sec_per_wall_sec",
         "value": round(rtf, 3),
         "unit": "x_realtime",
@@ -165,8 +177,49 @@ def main():
         "preset": args.preset,
         "vocoder_included": not args.skip_vocoder,
         "int8": args.int8,
+        "kv_cache": args.kv,
+        "approx_topk": args.approx_topk,
         "fused_matmuls": not args.no_fuse,
-    }))
+    }
+
+    if not args.skip_matrix and args.preset != "test":
+        # long-utterance regime (cache reads dominate) — VERDICT r1 weak #7:
+        # regressions in the long-T regime must be visible in the bench JSON
+        frames10 = int(sr * 10.0)
+        dcfg10 = dataclasses.replace(dcfg, max_frames=frames10 + sr + 16)
+        run10 = engine.jitted_decoder(cfg, dcfg10)
+        t10 = jnp.full((b,), frames10, jnp.int32)
+        out = run10(params, x, x_lens, prompt, prompt_lens, t10, key)
+        force(out.tokens)  # compile
+        t0 = time.time()
+        total10 = 0
+        for i in range(2):
+            out = run10(params, x, x_lens, prompt, prompt_lens, t10,
+                        jax.random.fold_in(key, 50 + i))
+            if not args.skip_vocoder:
+                force(voc(cparams, out.tokens % ccfg.fsq.codebook_size))
+            total10 += int(np.asarray(out.gen_lens).sum())
+        record["rtf_10s"] = round(total10 / sr / (time.time() - t0), 2)
+
+        # batch-1 interactive latency for a 5 s utterance
+        x1, xl1 = x[:1], x_lens[:1]
+        p1, pl1, tg1 = prompt[:1], prompt_lens[:1], targets[:1]
+        out = run(params, x1, xl1, p1, pl1, tg1, key)
+        force(out.tokens)  # compile
+        lats = []
+        for i in range(3):
+            t0 = time.time()
+            out = run(params, x1, xl1, p1, pl1, tg1,
+                      jax.random.fold_in(key, 80 + i))
+            if not args.skip_vocoder:
+                force(voc(cparams, out.tokens % ccfg.fsq.codebook_size))
+            else:
+                force(out.tokens)
+            lats.append(time.time() - t0)
+        record["p50_latency_sec_5s_b1"] = round(sorted(lats)[1], 3)
+        record["rtf_b1"] = round(args.seconds / sorted(lats)[1], 2)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

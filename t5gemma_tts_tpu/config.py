@@ -229,6 +229,18 @@ class DecodeConfig:
     # static decode-buffer length in codec frames; bucketing keeps recompiles rare
     max_frames: int = 2048
     seed: int = 1
+    # KV cache strategy for the AR decode loop:
+    #   "auto"     — paged flash-attention cache on TPU (dense elsewhere)
+    #   "dense"    — pre-allocated dense cache, full-extent reads every step
+    #   "paged"    — Pallas paged decode attention, bf16 pages
+    #   "paged_f8" — paged with float8_e4m3 pages (half the cache traffic,
+    #                ~2% attention-output error; see ops/paged_attn.py)
+    kv_cache: str = "auto"
+    # TPU-native approximate top-k for the per-step candidate fetch
+    # (jax.lax.approx_max_k, recall 0.99): ~1.6x faster than the exact sort
+    # at vocab 65541. Off by default — candidate sets can rarely miss a true
+    # top-k member, a small sampling-distribution deviation.
+    approx_top_k: bool = False
 
 
 def tiny_voice_config(**overrides) -> VoiceConfig:

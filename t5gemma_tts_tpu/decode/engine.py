@@ -41,10 +41,37 @@ import jax.numpy as jnp
 from ..config import DecodeConfig, VoiceConfig
 from ..models import t5gemma, voice
 from ..ops import masks as mask_ops
+from ..ops import paged_attn
 from ..ops import rope as rope_ops
 from ..ops import sampling
 
 PyTree = Any
+
+
+def resolve_kv_mode(cfg: VoiceConfig, dcfg: DecodeConfig,
+                    prompt_len: int, gen_len: int) -> str:
+    """Concrete KV-cache strategy for this decode trace.
+
+    "auto" picks the paged Pallas cache on TPU whenever the whole buffer fits
+    inside the sliding window (so sliding == full and the kernel's
+    lengths-only masking is exact); the dense cache otherwise/elsewhere.
+    """
+    dims = cfg.backbone.decoder
+    ps = t5gemma.PAGE_SIZE
+    total = t5gemma._pad_to(prompt_len, ps) + t5gemma._pad_to(gen_len, ps)
+    mode = dcfg.kv_cache
+    if mode == "auto":
+        fits = total <= dims.sliding_window
+        return "paged" if (jax.default_backend() == "tpu" and fits) else "dense"
+    if mode in ("paged", "paged_f8"):
+        if total > dims.sliding_window:
+            raise ValueError(
+                f"kv_cache={mode!r} needs prompt+gen ({total}) <= "
+                f"sliding_window ({dims.sliding_window}); use dense")
+        return mode
+    if mode != "dense":
+        raise ValueError(f"unknown kv_cache mode {mode!r}")
+    return mode
 
 
 class DecodeOutputs(NamedTuple):
@@ -144,29 +171,52 @@ def prefill(
 
     embedded = voice.embed_audio(params, cated).astype(compute_dtype)
 
-    cache = t5gemma.init_cache(dims, b, t_max, x.shape[1], dtype=compute_dtype)
-    # prefill biases: causal over the cache key-extent (junk slots beyond each
-    # row's prompt are overwritten before they ever become attendable)
+    kv_mode = resolve_kv_mode(cfg, dcfg, p_max + 1, max_steps)
+    # prefill biases: causal over the key extent (for the dense cache the
+    # extent is the whole buffer — junk slots beyond each row's prompt are
+    # overwritten before they ever become attendable; for the paged cache
+    # causality already limits keys to this call's own [W, W] block)
+    t_keys = t_max if kv_mode == "dense" else p_max + 1
     q_idx = jnp.arange(p_max + 1)[:, None]
-    k_idx = jnp.arange(t_max)[None, :]
+    k_idx = jnp.arange(t_keys)[None, :]
     causal = (k_idx <= q_idx)[None, None]
     full_bias = jnp.where(causal, 0.0, mask_ops.NEG_INF).astype(jnp.float32)
     slid = causal & (q_idx - dims.sliding_window < k_idx)[None, None]
     sliding_bias = jnp.where(slid, 0.0, mask_ops.NEG_INF).astype(jnp.float32)
-    full_bias = jnp.broadcast_to(full_bias, (b, 1, p_max + 1, t_max))
-    sliding_bias = jnp.broadcast_to(sliding_bias, (b, 1, p_max + 1, t_max))
+    full_bias = jnp.broadcast_to(full_bias, (b, 1, p_max + 1, t_keys))
+    sliding_bias = jnp.broadcast_to(sliding_bias, (b, 1, p_max + 1, t_keys))
+    cross_b = mask_ops.cross_bias(x_lens, p_max + 1, x.shape[1])
 
-    hidden, cache = t5gemma.decoder_forward(
-        params["decoder"], dims,
-        inputs_embeds=embedded,
-        self_full_bias=full_bias,
-        self_sliding_bias=sliding_bias,
-        cross_bias=mask_ops.cross_bias(x_lens, p_max + 1, x.shape[1]),
-        position_ids=prefill_pos,
-        pm_decoder_positions=prefill_pos if cfg.use_pm_rope else None,
-        cross_k=cross_k, cross_v=cross_v,
-        cache=cache,
-    )
+    if kv_mode == "dense":
+        cache = t5gemma.init_cache(dims, b, t_max, x.shape[1],
+                                   dtype=compute_dtype)
+        hidden, cache = t5gemma.decoder_forward(
+            params["decoder"], dims,
+            inputs_embeds=embedded,
+            self_full_bias=full_bias,
+            self_sliding_bias=sliding_bias,
+            cross_bias=cross_b,
+            position_ids=prefill_pos,
+            pm_decoder_positions=prefill_pos if cfg.use_pm_rope else None,
+            cross_k=cross_k, cross_v=cross_v,
+            cache=cache,
+        )
+    else:
+        store = paged_attn.KV_STORE_DTYPES[
+            "f8" if kv_mode == "paged_f8" else "bf16"]
+        cache = t5gemma.init_paged_cache(dims, b, p_max + 1, max_steps,
+                                         x.shape[1], store_dtype=store)
+        hidden, cache = t5gemma.paged_prefill(
+            params["decoder"], dims,
+            inputs_embeds=embedded,
+            self_full_bias=full_bias,
+            self_sliding_bias=sliding_bias,
+            cross_bias=cross_b,
+            position_ids=prefill_pos,
+            pm_decoder_positions=prefill_pos if cfg.use_pm_rope else None,
+            cross_k=cross_k, cross_v=cross_v,
+            cache=cache,
+        )
     # last valid hidden per row: index cated_lens - 1
     last_hidden = jnp.take_along_axis(
         hidden, (cated_lens - 1)[:, None, None], axis=1
@@ -213,9 +263,7 @@ def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
         else None
 
     def body(st: _LoopState) -> _LoopState:
-        t_max = st.cache.self_k.shape[3]
-        t_enc = st.cache.cross_k.shape[3]
-        cross_bias_step = mask_ops.cross_bias(x_lens, 1, t_enc)
+        paged = isinstance(st.cache, t5gemma.PagedDecoderCache)
 
         logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
         step_rng = jax.random.fold_in(rng, st.step)
@@ -230,7 +278,11 @@ def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
             # filtering here equals the reference's adjust-then-top_k order
             # (see ops/sampling.py::sample_from_candidates).
             kk = min(dcfg.top_k + 2, vocab)
-            vals, idx = jax.lax.top_k(logits, kk)
+            if dcfg.approx_top_k:
+                vals, idx = jax.lax.approx_max_k(
+                    logits.astype(jnp.float32), kk, recall_target=0.99)
+            else:
+                vals, idx = jax.lax.top_k(logits, kk)
             vals = vals.astype(jnp.float32)
             is_eog = idx == eog
             vals = jnp.where(is_eog & (st.step <= sr_fifth), -10000.0, vals)
@@ -293,22 +345,37 @@ def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
         else:
             # absolute integer position of the new token (HF default path)
             pos = st.current_length.astype(jnp.float32)[:, None]
-        step_full = mask_ops.step_self_bias(st.current_length, t_max, window=None)
-        step_slid = mask_ops.step_self_bias(
-            st.current_length, t_max, window=dims.sliding_window
-        )
-        hidden, cache = t5gemma.decoder_forward(
-            params["decoder"], dims,
-            inputs_embeds=emb,
-            self_full_bias=step_full,
-            self_sliding_bias=step_slid,
-            cross_bias=cross_bias_step,
-            position_ids=pos,
-            pm_decoder_positions=pos if cfg.use_pm_rope else None,
-            cross_k=st.cache.cross_k, cross_v=st.cache.cross_v,
-            cache=st.cache,
-            cache_pos=st.current_length,
-        )
+        if paged:
+            hidden, cache = t5gemma.paged_decode_step(
+                params["decoder"], dims,
+                inputs_embeds=emb,
+                position_ids=pos,
+                pm_decoder_positions=pos if cfg.use_pm_rope else None,
+                cache=st.cache,
+                step=st.step,
+                prompt_lengths=prompt_offset,
+                enc_lengths=x_lens,
+            )
+        else:
+            t_max = st.cache.self_k.shape[3]
+            t_enc = st.cache.cross_k.shape[3]
+            step_full = mask_ops.step_self_bias(st.current_length, t_max,
+                                                window=None)
+            step_slid = mask_ops.step_self_bias(
+                st.current_length, t_max, window=dims.sliding_window
+            )
+            hidden, cache = t5gemma.decoder_forward(
+                params["decoder"], dims,
+                inputs_embeds=emb,
+                self_full_bias=step_full,
+                self_sliding_bias=step_slid,
+                cross_bias=mask_ops.cross_bias(x_lens, 1, t_enc),
+                position_ids=pos,
+                pm_decoder_positions=pos if cfg.use_pm_rope else None,
+                cross_k=st.cache.cross_k, cross_v=st.cache.cross_v,
+                cache=st.cache,
+                cache_pos=st.current_length,
+            )
         current_length = jnp.where(now_done, st.current_length,
                                    st.current_length + 1)
         return _LoopState(

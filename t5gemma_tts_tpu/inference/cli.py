@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--xcodec2_model_name", default=None)
     p.add_argument("--codec_dir", default=None,
                    help="local dir with XCodec2 model.safetensors")
+    p.add_argument("--kv_cache", default="auto",
+                   choices=["auto", "dense", "paged", "paged_f8"],
+                   help="decode KV-cache strategy (see DecodeConfig.kv_cache)")
+    p.add_argument("--approx_top_k", action="store_true",
+                   help="TPU-native approximate top-k candidate fetch")
     p.add_argument("--random_codec", action="store_true",
                    help="random-init codec weights (smoke testing only)")
     return p
@@ -167,6 +172,7 @@ def run_inference(args: argparse.Namespace) -> str:
         top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
         temperature=args.temperature, stop_repetition=args.stop_repetition,
         silence_tokens=silence, seed=args.seed,
+        kv_cache=args.kv_cache, approx_top_k=args.approx_top_k,
     )
     res = pipe.synthesize(
         Request(
