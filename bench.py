@@ -52,6 +52,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from t5gemma_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from t5gemma_tts_tpu.codec.model import (
         XCodec2Config, init_decoder_params, decode_code, tiny_codec_config,
     )

@@ -203,6 +203,9 @@ def run_inference(args: argparse.Namespace) -> str:
 
 
 def main(argv: Optional[list] = None) -> None:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
     run_inference(args)

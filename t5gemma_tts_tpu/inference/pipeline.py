@@ -76,6 +76,9 @@ class TTSPipeline:
     ):
         import jax as _jax
 
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         if fuse_matmuls:
             from ..models.t5gemma import fuse_for_decode
 
@@ -247,6 +250,46 @@ class TTSPipeline:
     def synthesize(self, req: Request, dcfg: Optional[DecodeConfig] = None,
                    **kw) -> SynthesisResult:
         return self.synthesize_batch([req], dcfg, **kw)[0]
+
+    # ------------------------------------------------------------------
+    # warmup
+    # ------------------------------------------------------------------
+
+    def warmup(
+        self,
+        batch_sizes: Sequence[int] = (1,),
+        text_buckets: Sequence[int] = (64,),
+        prompt_buckets: Sequence[int] = (64,),
+        frame_buckets: Sequence[int] = (512,),
+        dcfg: Optional[DecodeConfig] = None,
+    ) -> int:
+        """Precompile decode programs for the given bucket grid.
+
+        Uses AOT lowering (abstract inputs), so no device step is executed;
+        combined with the persistent compilation cache this front-loads ALL
+        compile cost: a fresh process serving the same buckets starts in
+        seconds instead of minutes. Returns the number of programs compiled.
+        """
+        dcfg = dcfg or DecodeConfig()
+        n = 0
+        for mf in frame_buckets:
+            run_jit = engine._compiled(
+                self.cfg, dataclasses.replace(dcfg, max_frames=mf))
+            for b in batch_sizes:
+                for tx in text_buckets:
+                    for pm in prompt_buckets:
+                        aval = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
+                        run_jit.lower(
+                            self.params,
+                            x=aval((b, tx), np.int32),
+                            x_lens=aval((b,), np.int32),
+                            prompt=aval((b, pm), np.int32),
+                            prompt_lens=aval((b,), np.int32),
+                            target_totals=aval((b,), np.int32),
+                            rng=aval((2,), np.uint32),
+                        ).compile()
+                        n += 1
+        return n
 
     # ------------------------------------------------------------------
     # streaming synthesis: audio chunks while later tokens still generate

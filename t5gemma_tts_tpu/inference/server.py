@@ -47,7 +47,15 @@ class BatchingServer:
         max_batch: int = 32,
         max_wait_ms: float = 50.0,
         decode_audio: bool = True,
+        warmup: bool = False,
     ):
+        if warmup:
+            # front-load decode-program compiles for the common buckets so
+            # the first real request is not a cold compile (the persistent
+            # cache makes this near-free on restarts)
+            pipeline.warmup(batch_sizes=(1, max_batch),
+                            text_buckets=(64,), prompt_buckets=(64,),
+                            frame_buckets=(512,), dcfg=dcfg)
         self.pipeline = pipeline
         self.dcfg = dcfg or DecodeConfig()
         self.max_batch = max_batch

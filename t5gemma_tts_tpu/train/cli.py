@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[list] = None):
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
 

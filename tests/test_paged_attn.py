@@ -195,3 +195,26 @@ def test_init_paged_cache_shapes():
     assert cache.cross_k.shape[2] % ps == 0 and cache.cross_k.shape[2] >= 12
     assert cache.pending_k.shape == (dims.num_layers, 2, dims.num_kv_heads,
                                      dims.head_dim)
+
+
+def test_compile_cache_and_warmup(tmp_path, monkeypatch):
+    """enable_persistent_cache is idempotent; pipeline.warmup AOT-compiles
+    the requested bucket grid without executing a step."""
+    from t5gemma_tts_tpu.utils import compile_cache
+    from t5gemma_tts_tpu.inference.pipeline import TTSPipeline
+
+    monkeypatch.setattr(compile_cache, "_enabled_dir", None)
+    d = compile_cache.enable_persistent_cache(str(tmp_path / "xla"))
+    # the backend may already be initialized from earlier tests — either the
+    # directory is applied or the call degrades to None without raising
+    assert d is None or d.endswith("xla")
+    assert compile_cache.enable_persistent_cache("/elsewhere") == d
+
+    cfg = tiny_voice_config()
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    pipe = TTSPipeline(params, cfg, text_tokenizer=lambda s: [3, 4, 5],
+                       fuse_matmuls=False)
+    n = pipe.warmup(batch_sizes=(1,), text_buckets=(32,),
+                    prompt_buckets=(64,), frame_buckets=(64,),
+                    dcfg=DecodeConfig(max_frames=64))
+    assert n == 1
