@@ -110,6 +110,14 @@ def export_hf(params: Any, cfg: VoiceConfig, out_dir: str,
     save_file(sd, os.path.join(out_dir, "model.safetensors"))
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(voice_config_to_hf(cfg, **cfg_kwargs), f, indent=2)
+    # ship the trust_remote_code shims so auto_map resolves from the export
+    # dir alone (reference: scripts/export_t5gemma_voice_hf.py:167-175 copies
+    # its own modeling/config files for the same reason)
+    import shutil
+
+    templates = os.path.join(os.path.dirname(__file__), "templates")
+    for fn in ("configuration_t5gemma_voice.py", "modeling_t5gemma_voice.py"):
+        shutil.copy(os.path.join(templates, fn), os.path.join(out_dir, fn))
     return out_dir
 
 

@@ -1,0 +1,115 @@
+"""The HF export directory must be self-contained: auto_map resolves to the
+shipped configuration/modeling shims, the model loads with zero missing or
+unexpected tensors, and its greedy generation is token-identical to the JAX
+decode engine (reference equivalent: scripts/export_t5gemma_voice_hf.py
+copies its modeling files for the same reason, :167-175)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from t5gemma_tts_tpu.config import DecodeConfig, tiny_voice_config
+from t5gemma_tts_tpu.decode import engine
+from t5gemma_tts_tpu.export import hf_export
+from t5gemma_tts_tpu.models import voice
+
+
+@pytest.fixture(scope="module")
+def export_dir(tmp_path_factory):
+    cfg = dataclasses.replace(tiny_voice_config(), extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    out = str(tmp_path_factory.mktemp("hf") / "export")
+    hf_export.export_hf(params, cfg, out, dtype="float32")
+    return out, params, cfg
+
+
+def test_export_ships_trust_remote_code_files(export_dir):
+    out, _, _ = export_dir
+    files = set(os.listdir(out))
+    assert "configuration_t5gemma_voice.py" in files
+    assert "modeling_t5gemma_voice.py" in files
+    assert "model.safetensors" in files and "config.json" in files
+
+
+def test_shim_loads_clean_and_matches_jax_greedy(export_dir):
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers import AutoModelForSeq2SeqLM
+
+    out, params, cfg = export_dir
+    model, info = AutoModelForSeq2SeqLM.from_pretrained(
+        out, trust_remote_code=True, dtype=torch.float32,
+        output_loading_info=True)
+    model.eval()
+    assert not info["missing_keys"], info["missing_keys"]
+    assert not info["unexpected_keys"], info["unexpected_keys"]
+    assert not info["mismatched_keys"], info["mismatched_keys"]
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(3, cfg.text_vocab_size, (1, 10)).astype(np.int64)
+    prompt = rng.integers(0, cfg.audio_vocab_size, (1, 1, 4)).astype(np.int64)
+    tgt = np.array([24], np.int64)
+
+    _, gen = model.inference_tts(
+        torch.tensor(x), torch.tensor([10]), torch.tensor(prompt),
+        torch.tensor(tgt), top_k=1, top_p=1.0, temperature=1.0,
+        stop_repetition=3, silence_tokens=[])
+    torch_trace = gen[0, 0].tolist()
+
+    dcfg = DecodeConfig(top_k=1, top_p=1.0, temperature=1.0, max_frames=40,
+                        kv_cache="dense")
+    outs = engine.decode_tokens(
+        params, cfg, dcfg,
+        jnp.asarray(x, jnp.int32), jnp.asarray([10], jnp.int32),
+        jnp.asarray(prompt[:, 0], jnp.int32), jnp.asarray([4], jnp.int32),
+        jnp.asarray(tgt, jnp.int32), jax.random.PRNGKey(1))
+    jax_trace = np.asarray(outs.tokens)[0][: int(outs.gen_lens[0])].tolist()
+    assert torch_trace == jax_trace
+
+
+def test_shim_forward_matches_jax_loss_logits(export_dir):
+    torch = pytest.importorskip("torch")
+    out, params, cfg = export_dir
+    from transformers import AutoModelForSeq2SeqLM
+
+    model = AutoModelForSeq2SeqLM.from_pretrained(
+        out, trust_remote_code=True, dtype=torch.float32)
+    model.eval()
+
+    rng = np.random.default_rng(1)
+    x = rng.integers(3, cfg.text_vocab_size, (1, 8)).astype(np.int64)
+    y = rng.integers(0, cfg.audio_vocab_size, (1, 1, 6)).astype(np.int64)
+    with torch.no_grad():
+        logits_t = model.forward(torch.tensor(x), torch.tensor([8]),
+                                 torch.tensor(y)).numpy()
+
+    from t5gemma_tts_tpu.models import t5gemma as tg
+    memory, enc_pos = voice.encode_text(
+        params, cfg, jnp.asarray(x, jnp.int32), jnp.asarray([8], jnp.int32))
+    # teacher-forced decoder pass mirroring the shim's forward
+    s = cfg.special
+    tokens = np.concatenate([[[s.empty]], y[:, 0]], axis=1)
+    t = tokens.shape[1]
+    from t5gemma_tts_tpu.ops import masks as mask_ops
+    from t5gemma_tts_tpu.ops import rope as rope_ops
+    lens = jnp.asarray([t], jnp.int32)
+    pos = rope_ops.progress_position_ids(lens, t, cfg.progress_scale)
+    emb = voice.embed_audio(params, jnp.asarray(tokens, jnp.int32))
+    cross_k, cross_v = tg.build_cross_kv(
+        params["decoder"], cfg.backbone.decoder, memory, enc_pos)
+    hidden, _ = tg.decoder_forward(
+        params["decoder"], cfg.backbone.decoder,
+        inputs_embeds=emb,
+        self_full_bias=mask_ops.decoder_self_bias(lens, t),
+        self_sliding_bias=mask_ops.decoder_sliding_bias(
+            lens, t, cfg.backbone.decoder.sliding_window),
+        cross_bias=mask_ops.cross_bias(jnp.asarray([8], jnp.int32), t, 8),
+        position_ids=pos,
+        pm_decoder_positions=pos,
+        cross_k=cross_k, cross_v=cross_v)
+    logits_j = np.asarray(voice.predict_head(params["head"], hidden))
+    np.testing.assert_allclose(logits_t, logits_j, rtol=2e-4, atol=2e-4)
