@@ -6,8 +6,14 @@ rename and maps the pip-package module names onto this framework's pytrees.
 Torch convs are [out, in, k] -> ours are [k, in, out]; linears transpose.
 
 ``w2vbert_state_dict_to_params`` is validated against the local HF torch
-implementation in tests/test_codec_encoder.py; the full-checkpoint mapping is
-best-effort by name/shape until exercised against real released weights.
+implementation in tests/test_codec_encoder.py. The acoustic-encoder mapping
+is structured and EXHAUSTIVE: weight-norm pairs are folded, the conv/LSTM
+layout is inferred from the key inventory, and any unconsumed ``CodecEnc.*``
+key raises (tests/test_codec_encoder.py builds a weight-normalized torch
+twin of the BigCodec encoder and pins activation parity through the full
+conversion). Released-checkpoint key inventories cannot be fetched in this
+zero-egress build; the inventory-driven inference plus the strict leftover
+check is the offline-verifiable contract.
 """
 
 from __future__ import annotations
@@ -32,6 +38,169 @@ def rename_beta_keys(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """XCodec2 safetensors store some biases as ``.beta``
     (reference: data/tokenizer.py:82-84)."""
     return {k.replace(".beta", ".bias"): np.asarray(v) for k, v in sd.items()}
+
+
+def merge_weight_norm(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold torch weight_norm pairs (``.weight_g``/``.weight_v``, and the
+    parametrize spelling ``.parametrizations.weight.original{0,1}``) into
+    plain ``.weight`` tensors: w = g * v / ||v||, norm over non-output dims.
+
+    BigCodec-family encoders weight-normalize every conv, so a converted
+    checkpoint has no plain conv ``.weight`` keys until this runs."""
+    out: Dict[str, np.ndarray] = {}
+    consumed = set()
+    for k, v in sd.items():
+        if k.endswith(".weight_v"):
+            base = k[: -len(".weight_v")]
+            gk = base + ".weight_g"
+        elif k.endswith(".parametrizations.weight.original1"):
+            base = k[: -len(".parametrizations.weight.original1")]
+            gk = base + ".parametrizations.weight.original0"
+        else:
+            continue
+        if gk not in sd:
+            continue
+        vv = np.asarray(v, np.float64)
+        g = np.asarray(sd[gk], np.float64)
+        axes = tuple(range(1, vv.ndim))
+        norm = np.sqrt((vv ** 2).sum(axis=axes, keepdims=True))
+        out[base + ".weight"] = (g.reshape(norm.shape) * vv / np.maximum(
+            norm, 1e-12)).astype(np.float32)
+        consumed.update({k, gk})
+    for k, v in sd.items():
+        if k not in consumed:
+            out.setdefault(k, np.asarray(v))
+    return out
+
+
+def _natkey(k: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", k)]
+
+
+def acoustic_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], prefix: str = "CodecEnc.", dtype=None,
+):
+    """Structured conversion of the BigCodec-style acoustic encoder.
+
+    Layout is INFERRED from the (weight-norm-merged) key inventory instead of
+    assumed: the first conv (in_channels==1) is conv_in, even-kernel convs
+    are the strided downsamplers (stride = kernel/2, channels double), odd
+    kernel-7/kernel-1 pairs between downsamplers are the dilated residual
+    units, LSTM ``weight_ih/hh`` keys become the recurrent stage, and the
+    last conv is the output projection. Returns (params, AcousticEncoderConfig,
+    consumed_keys); raises with the offending keys if anything under
+    ``prefix`` cannot be placed.
+    """
+    import jax.numpy as jnp
+
+    from .encoder import AcousticEncoderConfig
+
+    dtype = jnp.dtype(dtype or jnp.float32)
+    sub = {k[len(prefix):]: np.asarray(v) for k, v in sd.items()
+           if k.startswith(prefix)}
+    sub = merge_weight_norm(sub)
+    consumed = set()
+
+    convs = []  # (base_key, weight) in natural key order
+    for k in sorted(sub, key=_natkey):
+        if k.endswith(".weight") and sub[k].ndim == 3:
+            convs.append((k[: -len(".weight")], sub[k]))
+
+    def take_conv(base, w):
+        consumed.add(base + ".weight")
+        out = {"w": jnp.asarray(_conv(w), dtype)}
+        bk = base + ".bias"
+        if bk in sub:
+            out["b"] = jnp.asarray(sub[bk], dtype)
+            consumed.add(bk)
+        else:
+            out["b"] = jnp.zeros((w.shape[0],), dtype)
+        return out
+
+    if len(convs) < 3:
+        raise ValueError(
+            f"acoustic encoder: expected conv stack under {prefix!r}, found "
+            f"{len(convs)} conv weights")
+    first_base, first_w = convs[0]
+    if first_w.shape[1] != 1:
+        raise ValueError(
+            f"acoustic encoder: first conv {prefix}{first_base} has "
+            f"in_channels={first_w.shape[1]}, expected 1 (waveform input)")
+    params = {"conv_in": take_conv(first_base, first_w), "blocks": []}
+    ngf = int(first_w.shape[0])
+    kernel = int(first_w.shape[2])
+
+    last_base, last_w = convs[-1]
+    body = convs[1:-1]
+    ratios, n_units = [], None
+    units, blocks = [], []
+    for base, w in body:
+        if w.shape[2] % 2 == 0 and w.shape[0] == 2 * w.shape[1]:
+            # strided downsampler: kernel 2*stride, channels double
+            if n_units is None:
+                n_units = len(units)
+            elif len(units) != n_units:
+                raise ValueError(
+                    f"acoustic encoder: inconsistent residual-unit count "
+                    f"({len(units)} vs {n_units}) before {prefix}{base}")
+            if len(units) % 2:
+                raise ValueError(
+                    f"acoustic encoder: odd conv count ({len(units)}) in "
+                    f"residual units before {prefix}{base}")
+            blocks.append({
+                "units": [
+                    {"conv1": units[i], "conv2": units[i + 1]}
+                    for i in range(0, len(units), 2)
+                ],
+                "down": take_conv(base, w),
+            })
+            ratios.append(w.shape[2] // 2)
+            units = []
+        else:
+            units.append(take_conv(base, w))
+    if units:
+        raise ValueError(
+            f"acoustic encoder: {len(units)} residual convs after the last "
+            f"downsampler under {prefix!r} — unexpected layout")
+    params["blocks"] = blocks
+    params["conv_out"] = take_conv(last_base, last_w)
+
+    # optional LSTM stage
+    rnn_layers = []
+    li = 0
+    while any(k.endswith(f"weight_ih_l{li}") for k in sub):
+        base = next(k[: -len(f"weight_ih_l{li}")] for k in sub
+                    if k.endswith(f"weight_ih_l{li}"))
+        layer = {}
+        for ours, theirs in (("w_ih", f"weight_ih_l{li}"),
+                             ("w_hh", f"weight_hh_l{li}"),
+                             ("b_ih", f"bias_ih_l{li}"),
+                             ("b_hh", f"bias_hh_l{li}")):
+            k = base + theirs
+            arr = np.asarray(sub[k])
+            layer[ours] = jnp.asarray(arr.T if ours.startswith("w") else arr,
+                                      dtype)
+            consumed.add(k)
+        rnn_layers.append(layer)
+        li += 1
+    if rnn_layers:
+        params["rnn"] = rnn_layers
+
+    leftovers = sorted(set(sub) - consumed)
+    if leftovers:
+        raise ValueError(
+            f"acoustic encoder: {len(leftovers)} unconsumed keys under "
+            f"{prefix!r}: {leftovers[:8]}{'...' if len(leftovers) > 8 else ''}")
+
+    n_pairs = (n_units or 0) // 2
+    dilations = (1, 3, 9, 27)[:n_pairs] if n_pairs else ()
+    acfg = AcousticEncoderConfig(
+        ngf=ngf, ratios=tuple(ratios), dilations=dilations,
+        out_dim=int(last_w.shape[0]), kernel=kernel,
+        rnn_layers=len(rnn_layers),
+    )
+    consumed_full = {prefix + k for k in consumed}
+    return params, acfg, consumed_full
 
 
 # ---------------------------------------------------------------------------
@@ -199,14 +368,17 @@ def xcodec2_state_dict_to_params(
                 _conv(sd["SemanticEncoder_module.final_conv.weight"]), dtype)},
         }
 
-    # acoustic encoder: mapped positionally from CodecEnc.* conv weights
-    acoustic_keys = sorted(
-        k for k in sd if k.startswith("CodecEnc.") and k.endswith(".weight")
-        and sd[k].ndim == 3
-    )
-    if acoustic_keys:
-        params["_acoustic_raw"] = {
-            k: jnp.asarray(_conv(sd[k]), dtype) for k in acoustic_keys
-        }
+    # acoustic encoder (structured + exhaustive; see
+    # acoustic_state_dict_to_params)
+    if any(k.startswith("CodecEnc.") for k in sd):
+        acoustic, acfg, _ = acoustic_state_dict_to_params(
+            sd, prefix="CodecEnc.", dtype=dtype)
+        params["acoustic"] = acoustic
+        want = getattr(cfg, "acoustic_cfg", None)
+        if want is not None and want != acfg:
+            raise ValueError(
+                "checkpoint acoustic-encoder layout differs from the "
+                f"configured one:\n  checkpoint: {acfg}\n  config:     {want}\n"
+                "construct XCodec2Config with the inferred acoustic_cfg")
 
     return params

@@ -11,8 +11,10 @@ Fusion concatenates both 1024-d branches to the 2048-d quantizer input
 The reference consumes all of this through the xcodec2 pip package
 (reference: data/tokenizer.py:105-115 ``encode``); here it is native JAX so
 Emilia-scale preprocessing shards across TPU devices (SURVEY.md §2.2).
-Checkpoint-name compatibility is best-effort until validated against real
-weights (the package is not vendored in the reference repo).
+Checkpoint conversion is structured and exhaustive (codec/convert.py
+``acoustic_state_dict_to_params``): the conv/LSTM layout is inferred from
+the checkpoint's own key inventory and validated against a torch twin in
+tests/test_codec_encoder.py.
 """
 
 from __future__ import annotations
@@ -37,6 +39,10 @@ class AcousticEncoderConfig:
     dilations: Tuple[int, ...] = (1, 3, 9)
     out_dim: int = 1024
     kernel: int = 7
+    # BigCodec-family encoders place an LSTM between the conv stack and the
+    # final projection; layout inferred from checkpoint keys at conversion
+    rnn_layers: int = 0
+    rnn_residual: bool = True
 
 
 @dataclass(frozen=True)
@@ -87,8 +93,45 @@ def init_acoustic_params(rng: jax.Array, cfg: AcousticEncoderConfig,
         down = _conv_init(next(kit), 2 * ratio, ch, ch * 2, dtype)
         params["blocks"].append({"units": units, "down": down})
         ch *= 2
+    if cfg.rnn_layers:
+        params["rnn"] = [
+            _lstm_init(next(kit), ch, ch, dtype) for _ in range(cfg.rnn_layers)
+        ]
     params["conv_out"] = _conv_init(next(kit), 3, ch, cfg.out_dim, dtype)
     return params
+
+
+def _lstm_init(rng, cin, hidden, dtype):
+    k1, k2 = jax.random.split(rng)
+    s_i = cin ** -0.5
+    s_h = hidden ** -0.5
+    return {
+        "w_ih": (jax.random.normal(k1, (cin, 4 * hidden), jnp.float32) * s_i
+                 ).astype(dtype),
+        "w_hh": (jax.random.normal(k2, (hidden, 4 * hidden), jnp.float32) * s_h
+                 ).astype(dtype),
+        "b_ih": jnp.zeros((4 * hidden,), dtype),
+        "b_hh": jnp.zeros((4 * hidden,), dtype),
+    }
+
+
+def lstm_forward(p, x: jnp.ndarray) -> jnp.ndarray:
+    """Unidirectional LSTM over [B, T, C] (torch gate order i,f,g,o)."""
+    b, t, c = x.shape
+    hidden = p["w_hh"].shape[0]
+    pre = x @ p["w_ih"] + (p["b_ih"] + p["b_hh"])  # [B, T, 4H]
+
+    def step(carry, u):
+        h, cell = carry
+        gates = u + h @ p["w_hh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        cell = jax.nn.sigmoid(f) * cell + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(cell)
+        return (h, cell), h
+
+    init = (jnp.zeros((b, hidden), x.dtype), jnp.zeros((b, hidden), x.dtype))
+    _, hs = jax.lax.scan(step, init, pre.swapaxes(0, 1))
+    return hs.swapaxes(0, 1)
 
 
 def _conv1d(x, p, stride=1, dilation=1, padding="SAME"):
@@ -102,7 +145,11 @@ def _conv1d(x, p, stride=1, dilation=1, padding="SAME"):
 
 def acoustic_forward(params: PyTree, cfg: AcousticEncoderConfig,
                      wav: jnp.ndarray) -> jnp.ndarray:
-    """wav: [B, S] -> [B, S // prod(ratios), out_dim]."""
+    """wav: [B, S] -> [B, S // prod(ratios), out_dim].
+
+    Down convs use torch-style symmetric padding ceil(stride/2) on kernel
+    2*stride (not XLA SAME, which pads asymmetrically for odd strides) so
+    converted checkpoints produce sample-aligned activations."""
     h = _conv1d(wav[..., None], params["conv_in"])
     for block, ratio in zip(params["blocks"], cfg.ratios):
         for unit, d in zip(block["units"], cfg.dilations):
@@ -110,7 +157,15 @@ def acoustic_forward(params: PyTree, cfg: AcousticEncoderConfig,
             u = _conv1d(jax.nn.elu(h), unit["conv1"], dilation=d)
             u = _conv1d(jax.nn.elu(u), unit["conv2"])
             h = r + u
-        h = _conv1d(jax.nn.elu(h), block["down"], stride=ratio)
+        pad = -(-ratio // 2)
+        h = _conv1d(jax.nn.elu(h), block["down"], stride=ratio,
+                    padding=[(pad, pad)])
+    if cfg.rnn_layers and "rnn" in params:
+        r = h
+        for lp in params["rnn"]:
+            h = lstm_forward(lp, h)
+        if cfg.rnn_residual:
+            h = h + r
     return _conv1d(jax.nn.elu(h), params["conv_out"])
 
 
