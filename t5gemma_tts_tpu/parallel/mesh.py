@@ -113,12 +113,42 @@ def batch_spec(axis: int = 0) -> P:
     return P(*([None] * axis), DATA_AXIS)
 
 
-def shard_batch(batch: PyTree, mesh: Mesh, axis: int = 0) -> PyTree:
+def shard_batch(batch: PyTree, mesh: Mesh, axis: int = 0,
+                via_process_local: bool = None) -> PyTree:
     """Shard the batch dimension (dim ``axis``; train batches are
-    [n_micro, B, ...] so use axis=1 there)."""
+    [n_micro, B, ...] so use axis=1 there).
+
+    Multi-host (pod-slice) feeding: every process holds the same seeded
+    sampler, materializes the identical GLOBAL numpy batch, and this
+    function hands JAX only the rows this process's devices own
+    (``jax.make_array_from_process_local_data``). That replaces the
+    reference's per-rank DDP dataloader sharding (reference:
+    trainer_utils.py:118, 411) without any cross-host data exchange —
+    the only requirement is that all hosts see the same dataset files.
+
+    ``via_process_local`` forces the multi-host assembly path (tests
+    exercise it on a single host, where local == global).
+    """
+    import numpy as np
+
+    if via_process_local is None:
+        via_process_local = jax.process_count() > 1
+
     def put(x):
-        spec = P(*([None] * min(axis, x.ndim - 1)), DATA_AXIS)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        dim = min(axis, x.ndim - 1)
+        spec = P(*([None] * dim), DATA_AXIS)
+        sharding = NamedSharding(mesh, spec)
+        if not via_process_local:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        gshape = x.shape
+        idx_map = sharding.addressable_devices_indices_map(gshape)
+        starts = [sl[dim].start or 0 for sl in idx_map.values()]
+        stops = [gshape[dim] if sl[dim].stop is None else sl[dim].stop
+                 for sl in idx_map.values()]
+        lo, hi = min(starts), max(stops)
+        local = x[(slice(None),) * dim + (slice(lo, hi),)]
+        return jax.make_array_from_process_local_data(sharding, local, gshape)
 
     return jax.tree_util.tree_map(put, batch)
 

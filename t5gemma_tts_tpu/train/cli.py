@@ -225,8 +225,14 @@ def main(argv: Optional[list] = None):
 
     copy_codebase(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                   args.exp_dir)
-    tb = MultiLogger(args.exp_dir, use_wandb=bool(os.environ.get("WANDB_MODE")),
-                     config=vars(args))
+    # rank-0 logging under multi-host SPMD (reference: per-rank gating in
+    # main.py:58-61); non-zero processes train silently
+    if jax.process_index() != 0:
+        tb = None
+    else:
+        tb = MultiLogger(args.exp_dir,
+                         use_wandb=bool(os.environ.get("WANDB_MODE")),
+                         config=vars(args))
 
     generation_hook = None
     if args.val_generation_text:

@@ -94,13 +94,11 @@ class Trainer:
         self.mesh = mesh
         self.tb = tb_writer
         self.generation_hook = generation_hook
-        if jax.process_count() > 1:
-            # multi-host slices need per-process local batch assembly
-            # (jax.make_array_from_process_local_data); single-controller
-            # feeding is only correct on one host.
-            raise NotImplementedError(
-                "multi-host training input feeding is not wired yet; run one "
-                "process per slice host group or use a single-host topology"
+        if jax.process_count() > 1 and mesh is None:
+            raise ValueError(
+                "multi-host training requires a device mesh: construct one "
+                "over all slice devices (parallel.make_mesh) so batches can "
+                "be assembled per process (parallel.shard_batch)"
             )
 
         if tcfg.optimizer_name == "ScaledAdam":
