@@ -46,26 +46,30 @@ def _load_whisper():
     return whisper.load_model("large-v3-turbo")
 
 
-def build_demo(model_dir: str, codec_dir: Optional[str] = None,
-               random_codec: bool = False):
-    import gradio as gr
-
+def make_infer_fn(model_dir: str, codec_dir: Optional[str] = None,
+                  random_codec: bool = False, *,
+                  error_cls=RuntimeError, whisper_loader=None):
+    """The synthesis callback behind the UI button, gradio-free so tests can
+    drive it directly (errors raise ``error_cls``; build_demo passes
+    gr.Error)."""
     from ..config import DecodeConfig
     from .pipeline import Request
+
+    whisper_loader = whisper_loader or _load_whisper
 
     def infer(reference_audio, reference_text, target_text, target_duration,
               seed, top_k, top_p, min_p, temperature):
         pipe = _load_resources(model_dir, codec_dir, random_codec)
         if not target_text:
-            raise gr.Error("target text is required")
+            raise error_cls("target text is required")
         if seed in (None, "", 0):
             seed = random.randint(1, 2 ** 31 - 1)  # reference :70-85
         prefix = reference_text or None
         if reference_audio and not prefix:
             try:
-                prefix = _load_whisper().transcribe(reference_audio)["text"]
+                prefix = whisper_loader().transcribe(reference_audio)["text"]
             except Exception as exc:
-                raise gr.Error(f"whisper transcription failed: {exc}")
+                raise error_cls(f"whisper transcription failed: {exc}")
         dcfg = DecodeConfig(
             top_k=int(top_k), top_p=float(top_p), min_p=float(min_p),
             temperature=float(temperature), seed=int(seed),
@@ -84,6 +88,16 @@ def build_demo(model_dir: str, codec_dir: Optional[str] = None,
         info = (f"seed={seed} | {res.tokens_per_sec:.1f} tok/s | "
                 f"RTF {res.rtf:.2f}x")
         return (sr, np.asarray(res.wav, np.float32)), info
+
+    return infer
+
+
+def build_demo(model_dir: str, codec_dir: Optional[str] = None,
+               random_codec: bool = False):
+    import gradio as gr
+
+    infer = make_infer_fn(model_dir, codec_dir, random_codec,
+                          error_cls=gr.Error)
 
     with gr.Blocks(title="T5Gemma-TTS (TPU)") as demo:
         gr.Markdown("## T5Gemma-TTS — TPU-native synthesis")

@@ -20,16 +20,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def args_to_voice_config(args_ns):
-    from t5gemma_tts_tpu.config import VoiceConfig, backbone_preset
+    from t5gemma_tts_tpu.config import (BackboneConfig, ModuleDims,
+                                        VoiceConfig, backbone_preset)
 
     get = lambda k, d=None: getattr(args_ns, k, d)  # noqa: E731
     name = str(get("t5gemma_model_name", "google/t5gemma-2b-2b-ul2"))
     preset = "2b-2b" if "2b-2b" in name else ("b-b" if "-b-b-" in name else "2b-2b")
+    # extension over the reference args: an explicit dims dict (written by
+    # this framework's tools/tests for non-catalog backbones)
+    dims = get("backbone_dims")
+    if dims:
+        md = ModuleDims(**dims)
+        backbone = BackboneConfig(encoder=md, decoder=md)
+    else:
+        backbone = backbone_preset(preset)
     av = get("audio_vocab_size", 65536)
     if isinstance(av, list):
         av = av[0]
     return VoiceConfig(
-        backbone=backbone_preset(preset),
+        backbone=backbone,
         audio_vocab_size=int(av),
         n_special=int(get("n_special", 5)),
         encodec_sr=int(get("encodec_sr", 50)),
