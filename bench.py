@@ -35,6 +35,12 @@ def main():
                     help="disable fused qkv/gate_up decode matmuls")
     ap.add_argument("--skip-matrix", action="store_true",
                     help="headline metric only (skip 10s + batch-1 extras)")
+    ap.add_argument("--spec", type=int, default=0, metavar="K",
+                    help="measure speculative decoding with K draft tokens "
+                         "(batch-1 latency regime, oracle draft corrupted to "
+                         "--spec-accept)")
+    ap.add_argument("--spec-accept", type=float, default=0.9,
+                    help="per-token draft acceptance rate for --spec")
     ap.add_argument("--mode", default="throughput",
                     choices=["throughput", "latency"],
                     help="latency: batch-1 p50 single-utterance wall time "
@@ -143,6 +149,55 @@ def main():
     rtf = audio_secs / elapsed
     tokens_per_sec = total_tokens / elapsed
     steps = int(out.steps)
+
+    if args.spec:
+        # speculative decoding: batch-1 latency regime; the draft replays the
+        # plain run's own trace, corrupted to the requested acceptance rate,
+        # measuring the verify-loop speedup at that draft quality (the output
+        # trace is bit-identical to sequential decoding by construction)
+        from t5gemma_tts_tpu.decode import speculative
+
+        b1 = (x[:1], x_lens[:1], prompt[:1], prompt_lens[:1], targets[:1])
+        # greedy for the mechanism measurement: with random bench weights the
+        # sampled path's acceptance is destroyed by bf16 T=1-vs-T=5 logit
+        # noise (any boundary flip breaks a match), while greedy argmax is
+        # stable under it; trained models are peaked and sample fine
+        dense_dcfg = dataclasses.replace(dcfg, kv_cache="dense", top_k=1,
+                                         temperature=1.0, top_p=1.0)
+        run1 = engine.jitted_decoder(cfg, dense_dcfg)
+        out1 = run1(params, *b1, key)
+        force(out1.tokens)
+        t0 = time.time()
+        out1 = run1(params, *b1, jax.random.fold_in(key, 7))
+        force(out1.tokens)
+        seq_time = time.time() - t0
+
+        trace = np.asarray(out1.tokens)
+        corrupt = np.random.default_rng(0).random(trace.shape) > args.spec_accept
+        bad = (trace + 1) % cfg.audio_vocab_size
+        draft = speculative.trace_draft_fn(
+            jnp.asarray(np.where(corrupt, bad, trace)), args.spec)
+        srun = speculative.jitted_speculative_decoder(cfg, dense_dcfg, args.spec)
+        out_s = srun(params, *b1, jax.random.fold_in(key, 7), draft)
+        force(out_s.tokens)  # compile
+        t0 = time.time()
+        out_s = srun(params, *b1, jax.random.fold_in(key, 7), draft)
+        force(out_s.tokens)
+        spec_time = time.time() - t0
+        match = bool(np.array_equal(np.asarray(out_s.tokens), trace))
+        print(json.dumps({
+            "metric": "speculative_speedup_b1",
+            "value": round(seq_time / spec_time, 3),
+            "unit": "x_vs_sequential",
+            "vs_baseline": round(seq_time / spec_time, 3),
+            "spec_k": args.spec,
+            "accept_rate": args.spec_accept,
+            "tokens_per_pass": round(int(out_s.steps) / max(1, int(out_s.passes)), 2),
+            "trace_identical": match,
+            "seq_sec": round(seq_time, 2),
+            "spec_sec": round(spec_time, 2),
+        }))
+        return
 
     if args.mode == "latency":
         lats = []

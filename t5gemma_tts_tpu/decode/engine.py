@@ -240,6 +240,77 @@ def prefill(
 # ---------------------------------------------------------------------------
 
 
+def sample_step_token(
+    cfg: VoiceConfig,
+    dcfg: DecodeConfig,
+    logits: jnp.ndarray,          # [B, Va]
+    step,                         # scalar int
+    prev_token: jnp.ndarray,      # [B]
+    consec_silence: jnp.ndarray,  # [B]
+    rng: jax.Array,               # base rng; folded with the ABSOLUTE step
+):
+    """One decode step's guarded sampling -> (token [B], argmax_tok [B]).
+
+    Shared by the sequential loop and the speculative verifier: the rng is
+    folded with the absolute step index, so any path that evaluates the same
+    logits at the same step draws the identical token — this is what makes
+    speculative decoding bit-identical to the sequential loop.
+    """
+    eog = cfg.eog_inference
+    vocab = cfg.audio_embedding_vocab
+    sr_fifth = int(cfg.encodec_sr) // 5
+    silence = jnp.asarray(dcfg.silence_tokens, jnp.int32) \
+        if dcfg.silence_tokens else None
+    step_rng = jax.random.fold_in(rng, step)
+
+    # min_p bypasses top-k/top-p in the reference and can keep more than
+    # k+2 survivors, so it routes through the exact full-vocab path; the
+    # candidate fast path covers the standard top-k decode.
+    if dcfg.top_k and dcfg.top_k > 0 and not (0.0 < dcfg.min_p < 1.0):
+        # one vocab-wide pass: raw top-(k+2) candidates; every adjustment
+        # only lowers at most two tokens (EOG + repeated silence), so the
+        # adjusted top-k lives inside this set — filtering here equals the
+        # reference's adjust-then-top_k order (see
+        # ops/sampling.py::sample_from_candidates).
+        kk = min(dcfg.top_k + 2, vocab)
+        if dcfg.approx_top_k:
+            vals, idx = jax.lax.approx_max_k(
+                logits.astype(jnp.float32), kk, recall_target=0.99)
+        else:
+            vals, idx = jax.lax.top_k(logits, kk)
+        vals = vals.astype(jnp.float32)
+        is_eog = idx == eog
+        vals = jnp.where(is_eog & (step <= sr_fifth), -10000.0, vals)
+        vals = jnp.where(is_eog & (step == 0), -1e9, vals)
+        if dcfg.stop_repetition > 0 and dcfg.silence_tokens:
+            prev_is_sil = jnp.any(
+                prev_token[:, None] == silence[None, :], axis=1
+            )
+            active = prev_is_sil & (consec_silence > dcfg.stop_repetition)
+            factor = (consec_silence
+                      - (dcfg.stop_repetition - 1)).astype(jnp.float32)
+            at_prev = idx == prev_token[:, None]
+            pen = jnp.where(vals < 0, vals * factor[:, None],
+                            vals / jnp.maximum(factor, 1.0)[:, None])
+            vals = jnp.where(at_prev & active[:, None], pen, vals)
+
+        b_idx = jnp.arange(vals.shape[0])
+        argmax_tok = idx[b_idx, jnp.argmax(vals, axis=-1)]
+        token = sampling.sample_from_candidates(
+            step_rng, vals, idx, top_k=dcfg.top_k, top_p=dcfg.top_p,
+            temperature=dcfg.temperature,
+        )
+    else:
+        adjusted = _adjust_logits(cfg, dcfg, logits.astype(jnp.float32),
+                                  step, prev_token, consec_silence)
+        token = sampling.sample(
+            step_rng, adjusted, top_k=dcfg.top_k, top_p=dcfg.top_p,
+            min_p=dcfg.min_p, temperature=dcfg.temperature,
+        ).astype(jnp.int32)
+        argmax_tok = sampling.greedy(adjusted)
+    return token, argmax_tok
+
+
 def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
                x_lens, prompt_lens, target_totals, rng):
     s = cfg.special
@@ -266,54 +337,8 @@ def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
         paged = isinstance(st.cache, t5gemma.PagedDecoderCache)
 
         logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
-        step_rng = jax.random.fold_in(rng, st.step)
-
-        # min_p bypasses top-k/top-p in the reference and can keep more
-        # than k+2 survivors, so it routes through the exact full-vocab
-        # path; the candidate fast path covers the standard top-k decode.
-        if dcfg.top_k and dcfg.top_k > 0 and not (0.0 < dcfg.min_p < 1.0):
-            # one vocab-wide pass: raw top-(k+2) candidates; every
-            # adjustment only lowers at most two tokens (EOG + repeated
-            # silence), so the adjusted top-k lives inside this set —
-            # filtering here equals the reference's adjust-then-top_k order
-            # (see ops/sampling.py::sample_from_candidates).
-            kk = min(dcfg.top_k + 2, vocab)
-            if dcfg.approx_top_k:
-                vals, idx = jax.lax.approx_max_k(
-                    logits.astype(jnp.float32), kk, recall_target=0.99)
-            else:
-                vals, idx = jax.lax.top_k(logits, kk)
-            vals = vals.astype(jnp.float32)
-            is_eog = idx == eog
-            vals = jnp.where(is_eog & (st.step <= sr_fifth), -10000.0, vals)
-            vals = jnp.where(is_eog & (st.step == 0), -1e9, vals)
-            if dcfg.stop_repetition > 0 and dcfg.silence_tokens:
-                prev_is_sil = jnp.any(
-                    st.prev_token[:, None] == silence[None, :], axis=1
-                )
-                active = prev_is_sil & (st.consec_silence > dcfg.stop_repetition)
-                factor = (st.consec_silence
-                          - (dcfg.stop_repetition - 1)).astype(jnp.float32)
-                at_prev = idx == st.prev_token[:, None]
-                pen = jnp.where(vals < 0, vals * factor[:, None],
-                                vals / jnp.maximum(factor, 1.0)[:, None])
-                vals = jnp.where(at_prev & active[:, None], pen, vals)
-
-            b_idx = jnp.arange(vals.shape[0])
-            argmax_tok = idx[b_idx, jnp.argmax(vals, axis=-1)]
-            token = sampling.sample_from_candidates(
-                step_rng, vals, idx, top_k=dcfg.top_k, top_p=dcfg.top_p,
-                temperature=dcfg.temperature,
-            )
-        else:
-            adjusted = _adjust_logits(cfg, dcfg, logits.astype(jnp.float32),
-                                      st.step, st.prev_token,
-                                      st.consec_silence)
-            token = sampling.sample(
-                step_rng, adjusted, top_k=dcfg.top_k, top_p=dcfg.top_p,
-                min_p=dcfg.min_p, temperature=dcfg.temperature,
-            ).astype(jnp.int32)
-            argmax_tok = sampling.greedy(adjusted)
+        token, argmax_tok = sample_step_token(
+            cfg, dcfg, logits, st.step, st.prev_token, st.consec_silence, rng)
 
         force = (token == eog) | (argmax_tok == eog)
         force = force | (st.step > text_budget) | (st.step > time_budget)

@@ -1,0 +1,111 @@
+"""Speculative multi-token decoding: the output token stream must be
+ARRAY-EQUAL to the sequential engine's for any draft quality and any
+sampling temperature — the draft may only change how many decoder passes
+the stream takes (decode/speculative.py)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from t5gemma_tts_tpu.config import DecodeConfig, tiny_voice_config
+from t5gemma_tts_tpu.decode import engine, speculative
+from t5gemma_tts_tpu.models import voice
+
+K = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = dataclasses.replace(tiny_voice_config(), extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b = 2
+    inputs = dict(
+        x=jnp.asarray(rng.integers(3, cfg.text_vocab_size, (b, 12)).astype(np.int32)),
+        x_lens=jnp.asarray([12, 9], jnp.int32),
+        prompt=jnp.asarray(rng.integers(0, cfg.audio_vocab_size, (b, 5)).astype(np.int32)),
+        prompt_lens=jnp.asarray([5, 3], jnp.int32),
+        target_totals=jnp.asarray([40, 30], jnp.int32),
+        rng=jax.random.PRNGKey(7),
+    )
+    return cfg, params, inputs
+
+
+@pytest.mark.parametrize("dcfg_kw", [
+    dict(top_k=1, top_p=1.0, temperature=1.0),   # greedy
+    dict(top_k=8, top_p=0.9, temperature=0.8),   # sampled
+    dict(top_k=0, top_p=0.9, min_p=0.05, temperature=0.8),  # full-vocab path
+])
+def test_spec_trace_equals_sequential(setup, dcfg_kw):
+    cfg, params, inputs = setup
+    dcfg = DecodeConfig(max_frames=48, kv_cache="dense", **dcfg_kw)
+    seq = engine.decode_tokens(params, cfg, dcfg, **inputs)
+    seq_toks = np.asarray(seq.tokens)
+
+    # worst draft (random MTP heads) and best draft (the true trace itself)
+    heads = speculative.init_mtp_heads(jax.random.PRNGKey(3), cfg, K)
+    for name, draft in [
+        ("mtp", speculative.mtp_draft_fn(heads)),
+        ("oracle", speculative.trace_draft_fn(jnp.asarray(seq_toks), K)),
+    ]:
+        out = speculative.decode_tokens_speculative(
+            params, cfg, dcfg, draft_fn=draft, k=K, **inputs)
+        np.testing.assert_array_equal(np.asarray(out.tokens), seq_toks,
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(out.gen_lens),
+                                      np.asarray(seq.gen_lens), err_msg=name)
+        assert int(out.passes) <= int(out.steps)
+
+
+def test_oracle_draft_multiplies_tokens_per_pass(setup):
+    cfg, params, inputs = setup
+    dcfg = DecodeConfig(top_k=8, top_p=0.9, temperature=0.8, max_frames=48,
+                        kv_cache="dense")
+    seq = engine.decode_tokens(params, cfg, dcfg, **inputs)
+    out = speculative.decode_tokens_speculative(
+        params, cfg, dcfg, k=K,
+        draft_fn=speculative.trace_draft_fn(jnp.asarray(np.asarray(seq.tokens)), K),
+        **inputs)
+    tokens_per_pass = int(out.steps) / int(out.passes)
+    # perfect draft on CPU f32 accepts everything: k+1 per pass modulo the
+    # final partial pass
+    assert tokens_per_pass > 0.8 * (K + 1), tokens_per_pass
+
+
+def test_corrupted_draft_degrades_but_stays_exact(setup):
+    cfg, params, inputs = setup
+    dcfg = DecodeConfig(top_k=8, top_p=0.9, temperature=0.8, max_frames=48,
+                        kv_cache="dense")
+    seq = engine.decode_tokens(params, cfg, dcfg, **inputs)
+    trace = np.asarray(seq.tokens)
+    corrupt = np.random.default_rng(1).random(trace.shape) > 0.5
+    bad = (trace + 1) % cfg.audio_vocab_size
+    out = speculative.decode_tokens_speculative(
+        params, cfg, dcfg, k=K,
+        draft_fn=speculative.trace_draft_fn(
+            jnp.asarray(np.where(corrupt, bad, trace)), K),
+        **inputs)
+    np.testing.assert_array_equal(np.asarray(out.tokens), trace)
+    assert int(out.passes) > int(seq.steps) / (K + 1)  # not the ceiling
+
+
+def test_mtp_loss_trains_heads(setup):
+    """The draft heads are trainable: a few gradient steps reduce mtp_loss."""
+    cfg, params, _ = setup
+    heads = speculative.init_mtp_heads(jax.random.PRNGKey(1), cfg, 2,
+                                       dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    hidden = jnp.asarray(rng.normal(size=(2, 12, cfg.backbone.decoder.hidden_size)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, cfg.audio_vocab_size, (2, 12)).astype(np.int32))
+    mask = jnp.ones((2, 12), bool)
+
+    loss_fn = jax.jit(lambda h: speculative.mtp_loss(h, hidden, targets, mask))
+    grad_fn = jax.jit(jax.grad(lambda h: speculative.mtp_loss(h, hidden, targets, mask)))
+    l0 = float(loss_fn(heads))
+    for _ in range(10):
+        g = grad_fn(heads)
+        heads = jax.tree_util.tree_map(lambda p, gg: p - 0.5 * gg, heads, g)
+    assert float(loss_fn(heads)) < l0
