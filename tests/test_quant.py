@@ -37,6 +37,45 @@ def test_q_matmul_matches_dequantized_reference():
     assert rel < 0.02
 
 
+def test_w8a8_pallas_core_exact_vs_numpy():
+    """The Pallas W8A8 kernel on pre-quantized inputs is EXACT: int32
+    accumulation with a deterministic f32 rescale, checked against a numpy
+    oracle to 1 ULP."""
+    rng = np.random.default_rng(3)
+    for m_pad, k, n_pad in [(32, 128, 512), (64, 256, 512), (32, 384, 1024)]:
+        x8 = rng.integers(-127, 128, (m_pad, k)).astype(np.int8)
+        w8 = rng.integers(-127, 128, (k, n_pad)).astype(np.int8)
+        sx = rng.uniform(1e-3, 1e-1, (m_pad, 1)).astype(np.float32)
+        sw = rng.uniform(1e-3, 1e-1, (n_pad,)).astype(np.float32)
+        got = np.asarray(quant._w8a8_core(
+            jnp.asarray(x8), jnp.asarray(sx), jnp.asarray(w8),
+            jnp.asarray(sw), jnp.float32, interpret=True))
+        acc = x8.astype(np.int64) @ w8.astype(np.int64)  # exact
+        ref = (acc.astype(np.float64) * sx * sw[None, :])
+        np.testing.assert_allclose(got, ref, rtol=3e-7)
+
+
+def test_w8a8_pallas_matches_xla_path():
+    """End-to-end (quantize + matmul + rescale) the Pallas and XLA W8A8 paths
+    agree to quantization-noise level: eager-vs-jit activation rounding can
+    flip an int8 at exact .5 boundaries and XLA may reassociate the scale
+    multiplies, so bit-equality between the two lowerings is not a contract —
+    agreement within a couple of quanta is."""
+    rng = np.random.default_rng(4)
+    for m, k, n in [(1, 128, 512), (5, 256, 512), (64, 128, 1024),
+                    (33, 384, 640)]:
+        x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.1)
+        qw = quant.quantize_weight(w)
+        ref = np.asarray(quant._w8a8_2d_xla(x, qw))
+        got = np.asarray(quant._w8a8_2d_pallas(x, qw, interpret=True))
+        assert got.shape == ref.shape
+        # tolerance: 2 output quanta (max row scale x max channel scale x 2)
+        quantum = (np.asarray(jnp.max(jnp.abs(x), axis=-1)) / 127.0).max() \
+            * np.asarray(qw.scale).max()
+        np.testing.assert_allclose(got, ref, atol=2.5 * quantum, rtol=3e-7)
+
+
 def test_q_matmul_passthrough_for_plain_arrays():
     x = jnp.ones((2, 4))
     w = jnp.ones((4, 3))
