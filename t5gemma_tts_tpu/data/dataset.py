@@ -7,9 +7,11 @@ optionally prepends a same-speaker neighbor prompt (x_sep / y_sep separators
 and the loss-prefix position used by no_loss_on_prefix), and appends text
 eos/bos.
 
-The ffmpeg ``atempo`` time-stretch augmentation (reference :216-254) is
-supported when an ``ffmpeg`` binary and a codec encoder are available and is
-otherwise skipped (the published recipes train with time_stretch_prob=0).
+The time-stretch augmentation (reference :203-254) is implemented with an
+in-process WSOLA stretcher (data/stretch.py — no ffmpeg needed for .wav
+sources) plus a caller-supplied ``codec_encode`` hook that re-encodes the
+stretched waveform; when the hook or the source audio is absent the on-disk
+codes are used, exactly like the reference's failure fallback (:248-254).
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ from typing import Callable, List, Optional
 import numpy as np
 
 from . import manifest as mani
+from . import stretch
 from .manifest import DataConfig, ManifestEntry
 
 log = logging.getLogger(__name__)
@@ -47,6 +50,8 @@ class VoiceDataset:
         add_eos_to_text: int = 0,
         add_bos_to_text: int = 0,
         seed: int = 1,
+        codec_encode: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        encode_sample_rate: int = 16000,
     ):
         if split not in ("train", "valid", "test"):
             raise ValueError(f"bad split {split}")
@@ -57,6 +62,8 @@ class VoiceDataset:
         self.y_sep_token = y_sep_token
         self.add_eos_to_text = add_eos_to_text
         self.add_bos_to_text = add_bos_to_text
+        self.codec_encode = codec_encode
+        self.encode_sample_rate = encode_sample_rate
         self.entries, self.roots = mani.load_manifest(dcfg, split)
         self.lengths = [e.length for e in self.entries]
         self._rng = random.Random(seed)
@@ -78,19 +85,53 @@ class VoiceDataset:
 
     def _load(self, idx: int):
         entry = self.entries[idx]
-        text_fn, enc_fn, _, _ = self._paths(entry)
+        text_fn, enc_fn, _, root = self._paths(entry)
         try:
             text = mani.read_text(text_fn)
             if not text:
                 return None, None
             x = self.encode_text(text)
-            y = mani.read_codes(enc_fn)
-            if len(x) == 0 or len(y) == 0:
+            if len(x) == 0:
+                return None, None
+            y = self._stretched_codes(entry, root)
+            if y is None:
+                y = mani.read_codes(enc_fn)
+            if len(y) == 0:
                 return None, None
             return np.asarray(x, np.int32), y
         except Exception as exc:  # tolerate per-sample failures
             log.info("loading failed for %s: %s", entry.utt_id, exc)
             return None, None
+
+    def _stretched_codes(self, entry: ManifestEntry, root: str):
+        """Time-stretch augmentation: load source audio, WSOLA-stretch by a
+        random factor, re-encode with the codec (reference
+        combined_dataset.py:203-254). Returns None to use the on-disk codes
+        (prob miss, no audio, no encoder, or any failure)."""
+        cfg = self.cfg
+        if cfg.target_time_stretch_prob <= 0 or self.codec_encode is None:
+            return None
+        # the reference draws the factor before the probability gate (:216)
+        speed = 1.0 + self._rng.uniform(-cfg.target_time_stretch_bound,
+                                        cfg.target_time_stretch_bound)
+        duration = entry.length / cfg.encodec_sr
+        length_ok = duration / speed < cfg.audio_max_length
+        if self._rng.random() >= cfg.target_time_stretch_prob or not length_ok:
+            return None
+        audio_fn = stretch.find_audio_file(
+            os.path.join(root, cfg.audio_folder_name), entry.utt_id)
+        if audio_fn is None:
+            return None
+        try:
+            wav = stretch.load_audio_mono(
+                audio_fn, self.encode_sample_rate, max_seconds=duration)
+            wav = stretch.time_stretch(wav, speed, self.encode_sample_rate)
+            codes = np.asarray(self.codec_encode(wav), np.int32).reshape(-1)
+            return codes if len(codes) else None
+        except Exception as exc:
+            log.info("time stretch + re-encode failed for %s: %s",
+                     entry.utt_id, exc)
+            return None
 
     # -- neighbor prompting (reference :270-373) -----------------------------
 

@@ -72,6 +72,9 @@ class DataConfig:
     num_trial: int = 5
     min_prompt_len: float = 0.5
     seed: int = 1
+    # target-audio time-stretch augmentation (reference config.py:173-174)
+    target_time_stretch_prob: float = 0.0
+    target_time_stretch_bound: float = 0.1
 
 
 def load_manifest(cfg: DataConfig, split: str) -> Tuple[List[ManifestEntry], List[str]]:

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neighbor_selection_method", default="maxdist_60")
     p.add_argument("--num_trial", type=int, default=5)
     p.add_argument("--validation_sample_cap", type=int, default=None)
+    # time-stretch augmentation (reference config.py:173-174); re-encoding
+    # stretched audio needs --codec_dir pointing at full (encoder) weights
+    p.add_argument("--target_time_stretch_prob", type=float, default=0)
+    p.add_argument("--target_time_stretch_bound", type=float, default=0.1)
+    p.add_argument("--audio_folder_name", default="audio")
     # optimizer
     p.add_argument("--optimizer_name", default="AdamW",
                    choices=["AdamW", "ScaledAdam"])
@@ -166,10 +171,28 @@ def main(argv: Optional[list] = None):
         num_trial=args.num_trial,
         min_prompt_len=args.min_prompt_len,
         seed=args.seed,
+        target_time_stretch_prob=args.target_time_stretch_prob,
+        target_time_stretch_bound=args.target_time_stretch_bound,
+        audio_folder_name=args.audio_folder_name,
     )
+    codec_encode = None
+    encode_sr = 16000
+    if args.target_time_stretch_prob > 0 and args.codec_dir:
+        # runtime re-encode of stretched audio (reference
+        # combined_dataset.py:150-165 builds an AudioTokenizer for this)
+        from argparse import Namespace
+
+        from ..inference.cli import _load_codec
+
+        _stretch_tok = _load_codec(
+            Namespace(codec_dir=args.codec_dir, random_codec=False,
+                      xcodec2_model_name=None), {})
+        codec_encode = lambda w: _stretch_tok.encode(w)[0, :, 0]  # noqa: E731
+        encode_sr = _stretch_tok.encode_sample_rate
     train_ds = VoiceDataset(dcfg, "train", text_tokenizer, cfg.x_sep_token,
                             cfg.special.y_sep, add_eos_to_text=add_eos,
-                            seed=args.seed)
+                            seed=args.seed, codec_encode=codec_encode,
+                            encode_sample_rate=encode_sr)
     try:
         valid_ds = VoiceDataset(dcfg, "valid", text_tokenizer, cfg.x_sep_token,
                                 cfg.special.y_sep, add_eos_to_text=add_eos,
