@@ -1,0 +1,161 @@
+"""HTTP front-end for the batching TTS server (stdlib-only).
+
+POST /synthesize     JSON body -> 16-bit PCM wav bytes (audio/wav)
+    {"target_text": "...", "target_duration": 5.0, "lang": "en",
+     "audio_path": "/path/ref.wav", "prompt_transcript": "...",
+     "repeat_prompt": 0, "concat": false}
+GET  /healthz        JSON server stats
+
+Requests from concurrent clients batch on the decode axis via
+BatchingServer (cross-bucket packed); each HTTP connection is handled on
+its own thread (ThreadingHTTPServer) and blocks on its future. The
+reference has no network serving surface (Gradio only,
+reference inference_gradio.py) — this is beyond-parity.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from .pipeline import Request
+from .server import BatchingServer
+
+log = logging.getLogger(__name__)
+
+
+def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
+    pcm = (np.clip(np.asarray(wav, np.float32), -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "t5gemma-tts-tpu/1.0"
+    backend: BatchingServer = None  # type: ignore[assignment]
+    sample_rate: int = 44100
+    request_timeout: float = 600.0
+
+    def log_message(self, fmt, *args):  # route to logging, not stderr
+        log.debug("http: " + fmt, *args)
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path != "/healthz":
+            return self._json(404, {"error": "not found"})
+        st = self.backend.stats
+        self._json(200, {
+            "ok": True,
+            "requests": st.requests,
+            "batches": st.batches,
+            "batch_sizes": st.batch_sizes[-16:],
+        })
+
+    def do_POST(self):
+        if self.path != "/synthesize":
+            return self._json(404, {"error": "not found"})
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            text = payload.get("target_text", "")
+            if not text:
+                return self._json(400, {"error": "target_text required"})
+            req = Request(
+                target_text=text,
+                lang=payload.get("lang"),
+                audio_path=payload.get("audio_path"),
+                prompt_transcript=payload.get("prompt_transcript"),
+                target_duration=payload.get("target_duration"),
+                repeat_prompt=payload.get("repeat_prompt", 0),
+                prompt_end_frame=payload.get("prompt_end_frame", -1),
+            )
+        except Exception as exc:
+            return self._json(400, {"error": str(exc)})
+        try:
+            res = self.backend.synthesize(req, timeout=self.request_timeout)
+        except Exception as exc:
+            log.exception("synthesis failed")
+            return self._json(500, {"error": str(exc)})
+        wav = res.concat_wav if payload.get("concat") else res.wav
+        if wav is None:  # decode_audio=False server: return tokens
+            return self._json(200, {
+                "frames": np.asarray(res.gen_frames).tolist(),
+                "rtf": res.rtf,
+            })
+        body = wav_bytes(wav, self.sample_rate)
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-RTF", f"{res.rtf:.3f}")
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def serve(backend: BatchingServer, host: str = "0.0.0.0", port: int = 8000,
+          sample_rate: int = 44100,
+          block: bool = True) -> Optional[ThreadingHTTPServer]:
+    """Start the HTTP server. With block=False returns the server (caller
+    shuts it down with .shutdown()); the port actually bound is
+    ``server.server_address[1]`` (pass port=0 for an ephemeral port)."""
+    handler = type("Handler", (_Handler,), {
+        "backend": backend, "sample_rate": sample_rate,
+    })
+    httpd = ThreadingHTTPServer((host, port), handler)
+    if block:
+        log.info("serving on %s:%d", *httpd.server_address)
+        httpd.serve_forever()
+        return None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd
+
+
+def main(argv=None):
+    """CLI: python -m t5gemma_tts_tpu.inference.http_server --model_dir ..."""
+    import argparse
+
+    from .gradio_app import _load_resources
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--codec_dir", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max_batch", type=int, default=32)
+    ap.add_argument("--max_wait_ms", type=float, default=50.0)
+    ap.add_argument("--random_codec", action="store_true",
+                    help="random codec weights (testing only)")
+    ap.add_argument("--no_warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    pipe = _load_resources(args.model_dir, args.codec_dir,
+                           args.random_codec)
+    backend = BatchingServer(pipe, max_batch=args.max_batch,
+                             max_wait_ms=args.max_wait_ms,
+                             warmup=not args.no_warmup)
+    sr = (pipe.audio_tokenizer.sample_rate
+          if pipe.audio_tokenizer is not None else 44100)
+    serve(backend, args.host, args.port, sample_rate=sr)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,20 @@ class Request:
     prompt_end_frame: int = -1
 
 
+@dataclasses.dataclass
+class PlannedRequest:
+    """A request after host-side assembly: token ids + target length.
+
+    Planning (duration estimation, prompt-audio tokenization, text
+    normalization/tokenization) is separated from decoding so a serving
+    layer can group planned requests by shape bucket before paying for a
+    compiled decode program (see inference/server.py)."""
+
+    text: List[int]
+    prompt: List[int]
+    target: int                    # tgt_y_len = prompt + sr * target_secs
+
+
 class TTSPipeline:
     def __init__(
         self,
@@ -142,6 +156,29 @@ class TTSPipeline:
     # synthesis
     # ------------------------------------------------------------------
 
+    def plan_request(self, req: Request) -> PlannedRequest:
+        """Host-side assembly of one request (no device work)."""
+        from .duration import estimate_duration
+
+        sr = int(self.cfg.encodec_sr)
+        target_secs = req.target_duration
+        if target_secs is None:
+            target_secs = estimate_duration(
+                req.target_text, req.audio_path, req.prompt_transcript,
+                req.lang,
+            )
+        prompt = self._prompt_tokens(req, sr, target_secs)
+        text, _ = self._text_tokens(req)
+        return PlannedRequest(text=text, prompt=prompt,
+                              target=len(prompt) + int(sr * target_secs))
+
+    def frame_bucket(self, planned: PlannedRequest) -> int:
+        """The generation-buffer bucket this request alone would use — the
+        decode loop's trip count, hence its cost driver."""
+        need = (planned.target - len(planned.prompt)
+                + int(self.cfg.encodec_sr * self.cfg.extra_cutoff) + 8)
+        return _bucket(need, FRAME_BUCKETS)
+
     def synthesize_batch(
         self,
         requests: Sequence[Request],
@@ -151,28 +188,28 @@ class TTSPipeline:
         decode_audio: bool = True,
     ) -> List[SynthesisResult]:
         """Batched synthesis: all requests decode in ONE compiled program."""
-        from .duration import estimate_duration
+        return self.synthesize_planned(
+            [self.plan_request(r) for r in requests],
+            dcfg, seed=seed, quiet=quiet, decode_audio=decode_audio,
+        )
 
+    def synthesize_planned(
+        self,
+        planned: Sequence[PlannedRequest],
+        dcfg: Optional[DecodeConfig] = None,
+        seed: Optional[int] = None,
+        quiet: bool = False,
+        decode_audio: bool = True,
+    ) -> List[SynthesisResult]:
         dcfg = dcfg or DecodeConfig()
         cfg = self.cfg
         s = cfg.special
         sr = int(cfg.encodec_sr)
+        texts = [p.text for p in planned]
+        prompts = [p.prompt for p in planned]
+        targets = [p.target for p in planned]
 
-        texts, prompts, targets = [], [], []
-        for req in requests:
-            target_secs = req.target_duration
-            if target_secs is None:
-                target_secs = estimate_duration(
-                    req.target_text, req.audio_path, req.prompt_transcript,
-                    req.lang,
-                )
-            prompt = self._prompt_tokens(req, sr, target_secs)
-            text, _ = self._text_tokens(req)
-            texts.append(text)
-            prompts.append(prompt)
-            targets.append(len(prompt) + int(sr * target_secs))
-
-        b = len(requests)
+        b = len(planned)
         tx = _bucket(max(len(t) for t in texts), TEXT_BUCKETS)
         p_max = _bucket(max((len(p) for p in prompts), default=1), PROMPT_BUCKETS)
         need_frames = max(

@@ -10,10 +10,12 @@ is a deliberately simple, dependency-free core (threading, no asyncio):
   ``max_wait_ms`` after the first arrival, then runs one compiled
   synthesize_batch and resolves the futures.
 
-Requests in one batch share the shape buckets chosen by the pipeline, so a
-mixed batch costs the padded maximum — grouping by duration can be layered
-on top via multiple servers. The reference has no serving layer beyond
-single-request Gradio (reference inference_gradio.py), so this is
+Requests in one collection window are PLANNED (duration estimate, prompt
+tokenization) and then packed per frame bucket: each group decodes with its
+own compiled program, so a 2 s utterance never pays a 20 s utterance's
+generation-buffer trip count. Groups run shortest-bucket-first, which
+resolves the cheap futures earliest. The reference has no serving layer
+beyond single-request Gradio (reference inference_gradio.py), so this is
 beyond-parity surface.
 """
 
@@ -48,6 +50,7 @@ class BatchingServer:
         max_wait_ms: float = 50.0,
         decode_audio: bool = True,
         warmup: bool = False,
+        group_by_bucket: bool = True,
     ):
         if warmup:
             # front-load decode-program compiles for the common buckets so
@@ -61,6 +64,7 @@ class BatchingServer:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.decode_audio = decode_audio
+        self.group_by_bucket = group_by_bucket
         self.stats = ServerStats()
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
@@ -109,20 +113,36 @@ class BatchingServer:
             batch = self._collect()
             if not batch:
                 continue
-            requests = [r for r, _ in batch]
-            futures = [f for _, f in batch]
             self.stats.requests += len(batch)
-            self.stats.batches += 1
-            self.stats.batch_sizes.append(len(batch))
-            try:
-                results = self.pipeline.synthesize_batch(
-                    requests, self.dcfg, quiet=True,
-                    decode_audio=self.decode_audio,
-                )
-                for fut, res in zip(futures, results):
-                    fut.set_result(res)
-            except Exception as exc:  # resolve all futures with the error
-                log.exception("batch synthesis failed")
-                for fut in futures:
-                    if not fut.done():
-                        fut.set_exception(exc)
+
+            # plan each request; a bad request fails only its own future
+            groups: "dict[int, list]" = {}
+            for req, fut in batch:
+                try:
+                    planned = self.pipeline.plan_request(req)
+                except Exception as exc:
+                    log.exception("request planning failed")
+                    fut.set_exception(exc)
+                    continue
+                key = (self.pipeline.frame_bucket(planned)
+                       if self.group_by_bucket else 0)
+                groups.setdefault(key, []).append((planned, fut))
+
+            # shortest bucket first: cheap futures resolve earliest
+            for key in sorted(groups):
+                items = groups[key]
+                futures = [f for _, f in items]
+                self.stats.batches += 1
+                self.stats.batch_sizes.append(len(items))
+                try:
+                    results = self.pipeline.synthesize_planned(
+                        [p for p, _ in items], self.dcfg, quiet=True,
+                        decode_audio=self.decode_audio,
+                    )
+                    for fut, res in zip(futures, results):
+                        fut.set_result(res)
+                except Exception as exc:  # resolve the group with the error
+                    log.exception("batch synthesis failed")
+                    for fut in futures:
+                        if not fut.done():
+                            fut.set_exception(exc)

@@ -73,6 +73,81 @@ def test_late_request_goes_to_next_batch(server):
     assert server.stats.batches >= batches_before + 2
 
 
+def test_cross_bucket_packing(server):
+    """Mixed durations split into per-frame-bucket groups: the short
+    requests decode in their own (cheap) program instead of padding to the
+    long bucket (NEXT_STEPS cross-bucket packing)."""
+    batches_before = server.stats.batches
+    futs = [
+        server.submit(Request(target_text=f"short {i}", target_duration=0.3))
+        for i in range(2)
+    ] + [
+        server.submit(Request(target_text=f"long {i}", target_duration=8.0))
+        for i in range(2)
+    ]
+    results = [f.result(timeout=600) for f in futs]
+    assert all(r.gen_frames is not None for r in results)
+    new_sizes = server.stats.batch_sizes[batches_before - server.stats.batches:]
+    # 4 requests, 2 frame buckets -> 2 groups of 2 (collected in one window)
+    assert server.stats.batches >= batches_before + 2
+    assert any(s == 2 for s in new_sizes)
+    # per-request cost reflects its own bucket: short ones stopped at their
+    # duration budget, long ones ran further
+    short_frames = max(len(r.gen_frames) for r in results[:2])
+    long_frames = max(len(r.gen_frames) for r in results[2:])
+    assert long_frames > short_frames
+
+
+def test_http_server_end_to_end():
+    """POST /synthesize -> wav bytes; GET /healthz -> stats JSON."""
+    import http.client
+    import io
+    import json
+    import wave as wave_mod
+
+    from t5gemma_tts_tpu.inference import http_server
+    from t5gemma_tts_tpu.inference.server import BatchingServer
+    from t5gemma_tts_tpu.inference.pipeline import TTSPipeline
+
+    cfg = tiny_voice_config(extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = tiny_codec_config()
+    tok = AudioTokenizer(init_decoder_params(jax.random.PRNGKey(1), ccfg), ccfg)
+    pipe = TTSPipeline(params, cfg,
+                       lambda t: [3 + (ord(c) % 100) for c in t], tok)
+    backend = BatchingServer(
+        pipe, DecodeConfig(top_k=4, temperature=1.0, max_frames=32),
+        max_batch=4, max_wait_ms=50.0,
+    )
+    httpd = http_server.serve(backend, host="127.0.0.1", port=0,
+                              sample_rate=ccfg.sample_rate, block=False)
+    try:
+        host, port = httpd.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=600)
+        conn.request("POST", "/synthesize", json.dumps(
+            {"target_text": "hello over http", "target_duration": 0.3}
+        ), {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        assert resp.getheader("Content-Type") == "audio/wav"
+        body = resp.read()
+        with wave_mod.open(io.BytesIO(body)) as w:
+            assert w.getframerate() == ccfg.sample_rate
+            assert w.getnframes() > 0
+
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] and health["requests"] >= 1
+
+        # bad request: missing text
+        conn.request("POST", "/synthesize", "{}",
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().status == 400
+    finally:
+        httpd.shutdown()
+        backend.close()
+
+
 def test_gradio_infer_fn_end_to_end(tmp_path):
     """VERDICT r1 weak #6: the Gradio callback must actually synthesize, not
     merely import. Drive make_infer_fn (the exact fn wired to the button,

@@ -78,7 +78,10 @@ def main():
     # ---- full step ---------------------------------------------------------
     def make_step(iters):
         @jax.jit
-        def loop(emb, cache):
+        def loop(params, emb, cache):
+            # params must be an ARGUMENT: a closed-over param tree is baked
+            # into the program as 2.4 GB of constants, which ships over the
+            # tunnel on every compile (measured: makes the bench unrunnable)
             def body(i, carry):
                 h, cache = carry
                 hidden, cache = t5gemma.paged_decode_step(
@@ -95,7 +98,7 @@ def main():
             return jax.lax.fori_loop(0, iters, body, (emb, cache))
         return loop
 
-    t_step = marginal(make_step, emb, cache, iters=args.iters)
+    t_step = marginal(make_step, params, emb, cache, iters=args.iters)
     print(f"paged_decode_step: {t_step*1e3:.2f} ms")
 
     # ---- attention-only (26x: 2 flash segments + merge + cross) -----------
@@ -110,7 +113,8 @@ def main():
     cross_vp = t5gemma._pages_view(cache.cross_v)
     gen_lengths = jnp.full((b,), step0, jnp.int32)
 
-    def attn_layer(q, li):
+    def attn_layer(q, li, prompt_kp, prompt_vp, gen_kp, gen_vp,
+                   cross_kp, cross_vp):
         parts = [
             paged_attn.paged_flash_parts(
                 q, prompt_kp, prompt_vp, plens,
@@ -141,16 +145,17 @@ def main():
 
     def make_attn(iters):
         @jax.jit
-        def loop(q):
+        def loop(q, *kv):  # kv buffers as args, not captured constants
             def body(i, q):
                 def layer(q, li):
-                    return attn_layer(q, li).astype(jnp.float32), None
+                    return attn_layer(q, li, *kv).astype(jnp.float32), None
                 q, _ = jax.lax.scan(layer, q, jnp.arange(dims.num_layers))
                 return q * 1e-2
             return jax.lax.fori_loop(0, iters, body, q)
         return loop
 
-    t_attn = marginal(make_attn, q0, iters=max(args.iters // 4, 4))
+    t_attn = marginal(make_attn, q0, prompt_kp, prompt_vp, gen_kp, gen_vp,
+                      cross_kp, cross_vp, iters=max(args.iters // 4, 4))
     print(f"attention x{dims.num_layers}: {t_attn*1e3:.2f} ms")
 
     # ---- head + sampling ---------------------------------------------------
@@ -162,16 +167,16 @@ def main():
 
     def make_head(iters):
         @jax.jit
-        def loop(h):
+        def loop(head_params, h):
             def body(i, h):
-                logits = voice.predict_head(params["head"], h)[:, 0]
+                logits = voice.predict_head(head_params, h)[:, 0]
                 tok, _ = engine.sample_step_token(
                     cfg, dcfg, logits, i, prev, prev, rng)
                 return h + (tok[:, None, None] * 1e-30).astype(h.dtype)
             return jax.lax.fori_loop(0, iters, body, h)
         return loop
 
-    t_head = marginal(make_head, hid, iters=args.iters)
+    t_head = marginal(make_head, params["head"], hid, iters=args.iters)
     print(f"head+sampling: {t_head*1e3:.2f} ms")
     print(f"sum(attn+head): {(t_attn+t_head)*1e3:.2f} ms; "
           f"residual (weights+glue): {(t_step-t_attn)*1e3:.2f} ms")
