@@ -137,13 +137,16 @@ def prefill(
     prompt: jnp.ndarray,        # [B, P] codec prompt tokens (incl. y_sep)
     prompt_lens: jnp.ndarray,   # [B] frames in each prompt (0 = no reference)
     target_totals: jnp.ndarray, # [B] tgt_y_lens: prompt + sr * target_secs
+    cache_slack: int = 0,       # extra KV slots past max_frames (multi-token
+                                # verify passes write k-token blocks whose
+                                # tail must never clamp into valid slots)
 ) -> _LoopState:
     """Encode text, precompute cross-KV, and prefill the prompt into the KV
     cache; returns the loop state at step 0."""
     s = cfg.special
     dims = cfg.backbone.decoder
     b, p_max = prompt.shape
-    max_steps = dcfg.max_frames
+    max_steps = dcfg.max_frames + cache_slack
     t_max = p_max + 1 + max_steps  # BOS + prompt + generation buffer
     compute_dtype = jnp.dtype(cfg.dtype)
 

@@ -153,6 +153,9 @@ class _SpecState(NamedTuple):
     done: jnp.ndarray
     gen_lens: jnp.ndarray
     passes: jnp.ndarray
+    # paged mode: (pending_k, pending_v, flush_start) — the previous pass's
+    # chain K/V awaiting its step-indexed flush; () in dense mode
+    aux: Any = ()
 
 
 def decode_tokens_speculative(
@@ -168,14 +171,18 @@ def decode_tokens_speculative(
     draft_fn: DraftFn,
     k: int,
 ) -> SpecOutputs:
-    """Speculative counterpart of ``engine.decode_tokens`` (dense KV cache).
+    """Speculative counterpart of ``engine.decode_tokens``.
 
     Emits a token stream ARRAY-EQUAL to the sequential engine's for the same
     inputs/rng; the draft only controls how many decoder passes that takes.
+    Supports both KV-cache layouts: dense (per-row block writes) and paged
+    (step-indexed multi-token pending flush via
+    ``t5gemma.paged_decode_multi`` — NEXT_STEPS perf #2).
     """
-    if dcfg.kv_cache not in ("dense", "auto"):
-        raise ValueError("speculative decode supports the dense KV cache")
-    dcfg = dataclasses.replace(dcfg, kv_cache="dense")
+    kv_mode = engine.resolve_kv_mode(cfg, dcfg, prompt.shape[1] + 1,
+                                     dcfg.max_frames + k)
+    dcfg = dataclasses.replace(dcfg, kv_cache=kv_mode)
+    paged = kv_mode in ("paged", "paged_f8")
     s = cfg.special
     eog = cfg.eog_inference
     dims = cfg.backbone.decoder
@@ -183,9 +190,23 @@ def decode_tokens_speculative(
     max_steps = dcfg.max_frames
     sr = int(cfg.encodec_sr)
 
+    # cache_slack=k: a verify pass writes a (k+1)-token block whose tail may
+    # extend past max_frames; slack keeps the dynamic_update_slice from
+    # clamping back onto valid slots
     st0 = engine.prefill(params, cfg, dcfg, x, x_lens, prompt, prompt_lens,
-                         target_totals)
-    state = _SpecState(*st0, passes=jnp.int32(0))
+                         target_totals, cache_slack=k)
+    if paged:
+        b0 = x.shape[0]
+        aux0 = (
+            jnp.zeros((dims.num_layers, b0, k + 1, dims.num_kv_heads,
+                       dims.head_dim), jnp.bfloat16),
+            jnp.zeros((dims.num_layers, b0, k + 1, dims.num_kv_heads,
+                       dims.head_dim), jnp.bfloat16),
+            jnp.int32(0),
+        )
+    else:
+        aux0 = ()
+    state = _SpecState(*st0, passes=jnp.int32(0), aux=aux0)
 
     prompt_offset = prompt_lens + 1
     est_total = jnp.maximum(target_totals + 1, prompt_lens + 1)
@@ -222,7 +243,6 @@ def decode_tokens_speculative(
 
     def body(st: _SpecState) -> _SpecState:
         b = x.shape[0]
-        t_max = st.cache.self_k.shape[3]
 
         # ---- current token (identical to the sequential body) -------------
         logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
@@ -248,25 +268,43 @@ def decode_tokens_speculative(
                 abs_pos, est_total[:, None], cfg.progress_scale)
         else:
             pos = abs_pos.astype(jnp.float32)
-        kk = jnp.arange(t_max)[None, None, :]
-        ok_full = kk <= abs_pos[:, :, None]
-        ok_slid = ok_full & (abs_pos[:, :, None] - dims.sliding_window < kk)
-        bias_full = jnp.where(ok_full, 0.0, mask_ops.NEG_INF
-                              ).astype(jnp.float32)[:, None]
-        bias_slid = jnp.where(ok_slid, 0.0, mask_ops.NEG_INF
-                              ).astype(jnp.float32)[:, None]
-        hidden, cache = t5gemma.decoder_forward(
-            params["decoder"], dims,
-            inputs_embeds=emb,
-            self_full_bias=bias_full,
-            self_sliding_bias=bias_slid,
-            cross_bias=mask_ops.cross_bias(x_lens, k + 1, t_enc),
-            position_ids=pos,
-            pm_decoder_positions=pos if cfg.use_pm_rope else None,
-            cross_k=st.cache.cross_k, cross_v=st.cache.cross_v,
-            cache=st.cache,
-            cache_pos=st.current_length,
-        )
+        if paged:
+            pend_k, pend_v, flush_start = st.aux
+            hidden, cache, chain_k, chain_v = t5gemma.paged_decode_multi(
+                params["decoder"], dims,
+                inputs_embeds=emb,
+                position_ids=pos,
+                pm_decoder_positions=pos if cfg.use_pm_rope else None,
+                cache=st.cache,
+                pending_k=pend_k, pending_v=pend_v,
+                flush_start=flush_start,
+                step=st.step,
+                prompt_lengths=prompt_offset,
+                enc_lengths=x_lens,
+            )
+            new_aux = (chain_k, chain_v, st.step)
+        else:
+            t_max = st.cache.self_k.shape[3]
+            kk = jnp.arange(t_max)[None, None, :]
+            ok_full = kk <= abs_pos[:, :, None]
+            ok_slid = ok_full & (abs_pos[:, :, None] - dims.sliding_window < kk)
+            bias_full = jnp.where(ok_full, 0.0, mask_ops.NEG_INF
+                                  ).astype(jnp.float32)[:, None]
+            bias_slid = jnp.where(ok_slid, 0.0, mask_ops.NEG_INF
+                                  ).astype(jnp.float32)[:, None]
+            hidden, cache = t5gemma.decoder_forward(
+                params["decoder"], dims,
+                inputs_embeds=emb,
+                self_full_bias=bias_full,
+                self_sliding_bias=bias_slid,
+                cross_bias=mask_ops.cross_bias(x_lens, k + 1, t_enc),
+                position_ids=pos,
+                pm_decoder_positions=pos if cfg.use_pm_rope else None,
+                cross_k=st.cache.cross_k, cross_v=st.cache.cross_v,
+                cache=st.cache,
+                cache_pos=st.current_length,
+            )
+            new_aux = ()
 
         # ---- evaluate targets along the draft chain ------------------------
         all_logits = voice.predict_head(params["head"], hidden)  # [B,k+1,V]
@@ -331,6 +369,7 @@ def decode_tokens_speculative(
             done=cur_done,
             gen_lens=gl,
             passes=st.passes + 1,
+            aux=new_aux,
         )
 
     def cond(st: _SpecState):
@@ -338,7 +377,9 @@ def decode_tokens_speculative(
 
     final = jax.lax.while_loop(cond, body, state)
     gen_lens = jnp.where(final.done, final.gen_lens, final.step)
-    return SpecOutputs(tokens=final.tokens, gen_lens=gen_lens,
+    # prefill's cache_slack widens the token buffer; the emitted stream
+    # never exceeds max_frames (m is clamped), so slice to the engine's shape
+    return SpecOutputs(tokens=final.tokens[:, :max_steps], gen_lens=gen_lens,
                        steps=final.step, passes=final.passes)
 
 

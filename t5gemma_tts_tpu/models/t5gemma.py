@@ -492,6 +492,22 @@ class PagedDecoderCache(NamedTuple):
 PAGE_SIZE = 128
 
 
+def _use_fused_attn(dims: "ModuleDims") -> bool:
+    """Opt-in (T5G_FUSED_ATTN=1) fused decode attention (ops/fused_attn.py).
+
+    Measured at batch 64 / prompt 128 / gen 384 @ 50% fill: 21.8 ms/step vs
+    19.5 ms for the two-kernel + merge path — the single launch loses more
+    to per-grid-cell DMA stalls (no cross-cell pipelining, 64 KB transfers)
+    than it saves in dispatch. Kept for A/B until the v2 kernel
+    (batch-only grid, per-page all-head DMAs, cross attention folded in)
+    replaces it."""
+    import os
+
+    if os.environ.get("T5G_FUSED_ATTN", "0") != "1":
+        return False
+    return jax.default_backend() == "tpu" and dims.head_dim % 128 == 0
+
+
 def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -654,7 +670,7 @@ def paged_decode_step(
     keep computing (their outputs are ignored by the engine); their slots
     beyond the stopping step hold garbage that only they can see.
     """
-    from ..ops import paged_attn
+    from ..ops import fused_attn, paged_attn
 
     b = inputs_embeds.shape[0]
     h = inputs_embeds * jnp.asarray(
@@ -700,23 +716,34 @@ def paged_decode_step(
         q = rope_ops.apply_rope(q, cos, sin)
         k = rope_ops.apply_rope(k, cos, sin)
         qv = q[:, :, 0].astype(jnp.float32) * dims.q_scale  # [B, H, hd]
-        parts = [
-            paged_attn.paged_flash_parts(
-                qv, prompt_kp, prompt_vp, prompt_lengths,
+        if _use_fused_attn(dims):
+            # one Pallas launch: prompt pages + gen pages + in-flight token
+            attn = fused_attn.fused_decode_attention(
+                qv, k[:, :, 0], v[:, :, 0],
+                prompt_kp, prompt_vp, gen_kp, gen_vp,
+                prompt_lengths, gen_lengths,
                 _layer_page_indices(li, b, wp),
-                attn_logits_soft_cap=dims.attn_logit_softcap,
-                pages_per_compute_block=paged_ppcb(wp // PAGE_SIZE),
-            ),
-            paged_attn.paged_flash_parts(
-                qv, gen_kp, gen_vp, gen_lengths,
                 _layer_page_indices(li, b, tg),
                 attn_logits_soft_cap=dims.attn_logit_softcap,
-                pages_per_compute_block=paged_ppcb(tg // PAGE_SIZE),
-            ),
-        ]
-        attn = paged_attn.merge_attention_parts(
-            parts, qv, k[:, :, 0], v[:, :, 0],
-            dims.attn_logit_softcap, h.dtype)
+            ).astype(h.dtype)
+        else:
+            parts = [
+                paged_attn.paged_flash_parts(
+                    qv, prompt_kp, prompt_vp, prompt_lengths,
+                    _layer_page_indices(li, b, wp),
+                    attn_logits_soft_cap=dims.attn_logit_softcap,
+                    pages_per_compute_block=paged_ppcb(wp // PAGE_SIZE),
+                ),
+                paged_attn.paged_flash_parts(
+                    qv, gen_kp, gen_vp, gen_lengths,
+                    _layer_page_indices(li, b, tg),
+                    attn_logits_soft_cap=dims.attn_logit_softcap,
+                    pages_per_compute_block=paged_ppcb(tg // PAGE_SIZE),
+                ),
+            ]
+            attn = paged_attn.merge_attention_parts(
+                parts, qv, k[:, :, 0], v[:, :, 0],
+                dims.attn_logit_softcap, h.dtype)
         a = _mm(attn.reshape(b, 1, -1), lp["self_attn"]["o"])
         h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
 
@@ -751,6 +778,144 @@ def paged_decode_step(
         pending_k=k_new.astype(jnp.bfloat16),
         pending_v=v_new.astype(jnp.bfloat16),
     )
+
+def paged_decode_multi(
+    params: PyTree,
+    dims: ModuleDims,
+    *,
+    inputs_embeds: jnp.ndarray,       # [B, S, D] chain embeddings
+    position_ids: jnp.ndarray,        # [B, S] float
+    pm_decoder_positions: Optional[jnp.ndarray],
+    cache: PagedDecoderCache,
+    pending_k: jnp.ndarray,           # [L, B, S, Hkv, hd] prev pass's chain
+    pending_v: jnp.ndarray,
+    flush_start: jnp.ndarray,         # scalar gen slot for the pending block
+    step: jnp.ndarray,                # scalar: tokens emitted so far
+    prompt_lengths: jnp.ndarray,      # [B] valid prompt tokens (incl. BOS)
+    enc_lengths: jnp.ndarray,         # [B]
+) -> Tuple[jnp.ndarray, PagedDecoderCache, jnp.ndarray, jnp.ndarray]:
+    """One S-token verify pass over the paged cache (speculative decoding).
+
+    Multi-token counterpart of :func:`paged_decode_step` — the paged-cache
+    extension the speculative engine needs (NEXT_STEPS perf #2):
+
+    - the PREVIOUS pass's S-token chain K/V flush as one contiguous
+      step-indexed dynamic_update_slice at ``flush_start`` (slots past the
+      accepted prefix hold garbage that the next flush overwrites before the
+      visible length ever reaches them; the caller guarantees
+      ``flush_start + S`` fits the generation buffer via prefill
+      ``cache_slack``);
+    - every chain position shares the same paged segment lengths (prompt;
+      generation = ``step``), so the segment kernels run ONCE over B*S
+      pseudo-rows; intra-chain causal attention joins through the exact
+      flash merge (ops/paged_attn.py merge_attention_parts_chain).
+
+    Returns (hidden [B, S, D], cache, chain_k, chain_v) where chain_k/v
+    [L, B, S, Hkv, hd] are this pass's K/V — the next pass's pending block.
+    """
+    from ..ops import paged_attn
+
+    b, s_len, _ = inputs_embeds.shape
+    h = inputs_embeds * jnp.asarray(
+        dims.hidden_size ** 0.5, dtype=inputs_embeds.dtype)
+    cos, sin = rope_ops.rope_cos_sin(position_ids, dims.head_dim,
+                                     dims.rope_theta)
+    if pm_decoder_positions is not None:
+        q_cos, q_sin = rope_ops.rope_cos_sin(
+            pm_decoder_positions, dims.head_dim, dims.rope_theta)
+    else:
+        q_cos = q_sin = None
+    layer_ids = jnp.arange(dims.num_layers)
+    wp = cache.prompt_k.shape[2]
+    tg = cache.gen_k.shape[2]
+    tx = cache.cross_k.shape[2]
+
+    # flush the previous pass's chain: one contiguous in-place update
+    block_k = pending_k.transpose(3, 0, 1, 2, 4).reshape(
+        dims.num_kv_heads, -1, s_len, dims.head_dim).astype(cache.gen_k.dtype)
+    block_v = pending_v.transpose(3, 0, 1, 2, 4).reshape(
+        dims.num_kv_heads, -1, s_len, dims.head_dim).astype(cache.gen_v.dtype)
+    gk = jax.lax.dynamic_update_slice(cache.gen_k, block_k,
+                                      (0, 0, flush_start, 0))
+    gv = jax.lax.dynamic_update_slice(cache.gen_v, block_v,
+                                      (0, 0, flush_start, 0))
+
+    prompt_kp, prompt_vp = _pages_view(cache.prompt_k), _pages_view(cache.prompt_v)
+    gen_kp, gen_vp = _pages_view(gk), _pages_view(gv)
+    cross_kp, cross_vp = _pages_view(cache.cross_k), _pages_view(cache.cross_v)
+
+    def rep(lens):  # [B] -> [B*S] pseudo-row lengths
+        return jnp.repeat(lens.astype(jnp.int32), s_len, axis=0)
+
+    def rep_pages(idx):  # [B, PP] -> [B*S, PP]
+        return jnp.repeat(idx, s_len, axis=0)
+
+    gen_lengths = rep(jnp.broadcast_to(step.astype(jnp.int32), (b,)))
+    prompt_rep = rep(prompt_lengths)
+    enc_rep = rep(enc_lengths)
+
+    def body(h, xs):
+        lp, li = xs
+
+        r = h
+        hn = rms_norm(h, lp["pre_self_attn_norm"], dims.rms_norm_eps)
+        q, k, v = _qkv_proj(lp["self_attn"], hn, dims)  # [B, H|Hkv, S, hd]
+        q = rope_ops.apply_rope(q, cos, sin)
+        k = rope_ops.apply_rope(k, cos, sin)
+        qv = (q.astype(jnp.float32) * dims.q_scale
+              ).transpose(0, 2, 1, 3)                   # [B, S, H, hd]
+        k_c = k.transpose(0, 2, 1, 3)                   # [B, S, Hkv, hd]
+        v_c = v.transpose(0, 2, 1, 3)
+        q2 = qv.reshape(b * s_len, dims.num_heads, dims.head_dim)
+        parts = [
+            paged_attn.paged_flash_parts(
+                q2, prompt_kp, prompt_vp, prompt_rep,
+                rep_pages(_layer_page_indices(li, b, wp)),
+                attn_logits_soft_cap=dims.attn_logit_softcap,
+                pages_per_compute_block=paged_ppcb(wp // PAGE_SIZE),
+            ),
+            paged_attn.paged_flash_parts(
+                q2, gen_kp, gen_vp, gen_lengths,
+                rep_pages(_layer_page_indices(li, b, tg)),
+                attn_logits_soft_cap=dims.attn_logit_softcap,
+                pages_per_compute_block=paged_ppcb(tg // PAGE_SIZE),
+            ),
+        ]
+        attn = paged_attn.merge_attention_parts_chain(
+            parts, qv, k_c, v_c, dims.attn_logit_softcap, h.dtype,
+            store_dtype=cache.gen_k.dtype)
+        a = _mm(attn.reshape(b, s_len, -1), lp["self_attn"]["o"])
+        h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
+
+        r = h
+        hn = rms_norm(h, lp["pre_cross_attn_norm"], dims.rms_norm_eps)
+        cq = _split_heads(_mm(hn, lp["cross_attn"]["q"]), dims.num_heads,
+                          dims.head_dim)                # [B, H, S, hd]
+        if q_cos is not None:
+            cq = rope_ops.apply_rope(cq, q_cos, q_sin)
+        cq2 = (cq.astype(jnp.float32) * dims.q_scale).transpose(
+            0, 2, 1, 3).reshape(b * s_len, dims.num_heads, dims.head_dim)
+        cattn = paged_attn.paged_gqa_attention(
+            cq2, cross_kp, cross_vp, enc_rep,
+            page_indices=rep_pages(_layer_page_indices(li, b, tx)),
+            attn_logits_soft_cap=dims.attn_logit_softcap,
+            pages_per_compute_block=paged_ppcb(tx // PAGE_SIZE),
+            out_dtype=h.dtype,
+        )
+        a = _mm(cattn.reshape(b, s_len, -1), lp["cross_attn"]["o"])
+        h = r + rms_norm(a, lp["post_cross_attn_norm"], dims.rms_norm_eps)
+
+        r = h
+        hn = rms_norm(h, lp["pre_ff_norm"], dims.rms_norm_eps)
+        h = r + rms_norm(mlp(lp["mlp"], hn), lp["post_ff_norm"],
+                         dims.rms_norm_eps)
+        return h, (k_c, v_c)
+
+    h, (k_new, v_new) = jax.lax.scan(body, h, (params["layers"], layer_ids))
+    h = rms_norm(h, params["final_norm"], dims.rms_norm_eps)
+    return (h, cache._replace(gen_k=gk, gen_v=gv),
+            k_new.astype(jnp.bfloat16), v_new.astype(jnp.bfloat16))
+
 
 def fuse_for_decode(params: PyTree) -> PyTree:
     """Concatenate q/k/v -> qkv and gate/up -> gate_up kernels in both

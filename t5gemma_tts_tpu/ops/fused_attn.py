@@ -1,0 +1,263 @@
+"""Fused two-segment paged decode attention (one Pallas launch per layer).
+
+The paged decode step previously issued, per layer, TWO upstream
+paged-attention kernels (prompt segment, generation segment) plus an XLA
+flash-merge of their statistics with the in-flight token
+(ops/paged_attn.py). At batch 64 the decode step is dominated by per-layer
+dispatch overhead on top of the DMA floor (measured: ~12 ms observed vs
+~7 ms weight-bandwidth theoretical — NEXT_STEPS perf #1). This kernel does
+the whole self-attention read in ONE launch:
+
+  for each (batch row, kv head) grid cell:
+      flash-accumulate over the row's valid PROMPT pages,
+      then its valid GENERATION pages (double-buffered page DMAs
+      throughout, sequenced across the segment boundary),
+      then the in-flight token's K/V (always valid), and normalize once.
+
+Compared with the two-kernel + merge structure this removes one kernel
+dispatch per layer, the per-segment normalization work, and the XLA merge
+chain — and the DMA pipeline no longer drains between segments.
+
+Layout contract matches ops/paged_attn.py: pages are [Hkv, NP, ps, hd]
+(bf16 or f8_e4m3), per-row page indices address a multi-layer buffer, q is
+pre-scaled and rotary-embedded. Math follows the upstream kernel: logits in
+f32, soft cap before the length mask, mask value -0.7*f32max.
+
+Runs in interpreter mode off-TPU, so the CPU test suite executes the
+identical kernel code path (tests/test_fused_attn.py checks exactness
+against the composed parts+merge reference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(
+    # scalar prefetch
+    plens_s, glens_s, ppi_s, gpi_s,
+    # inputs
+    q_ref,        # [G, hd] f32
+    kcur_ref,     # [1, hd]
+    vcur_ref,     # [1, hd]
+    pk_ref, pv_ref,   # [Hkv, NPp, ps, hd]  (HBM)
+    gk_ref, gv_ref,   # [Hkv, NPg, ps, hd]  (HBM)
+    # output
+    out_ref,      # [G, hd] f32
+    # scratch
+    kbuf, vbuf,   # [2, ps, hd] store dtype
+    ksem, vsem,   # DMA semaphores (2,)
+    *,
+    pages_per_prompt: int,
+    pages_per_gen: int,
+    page_size: int,
+    soft_cap: Optional[float],
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    hd = q_ref.shape[-1]
+    g = q_ref.size // hd          # ref is [G, hd] or [G, 1, hd]
+    ps = page_size
+
+    plen = plens_s[b]
+    glen = glens_s[b]
+    np_pages = pl.cdiv(plen, ps)
+    ng_pages = pl.cdiv(glen, ps)
+    total = np_pages + ng_pages
+
+    def page_of(i):
+        """global block i -> (in_prompt, page id within that buffer)."""
+        in_prompt = i < np_pages
+        ip = jnp.minimum(i, pages_per_prompt - 1)
+        ig = jnp.clip(i - np_pages, 0, pages_per_gen - 1)
+        pid_p = ppi_s[b * pages_per_prompt + ip]
+        pid_g = gpi_s[b * pages_per_gen + ig]
+        return in_prompt, pid_p, pid_g
+
+    def start_dma(i, slot):
+        in_prompt, pid_p, pid_g = page_of(i)
+
+        @pl.when(in_prompt)
+        def _():
+            pltpu.make_async_copy(pk_ref.at[h, pid_p], kbuf.at[slot],
+                                  ksem.at[slot]).start()
+            pltpu.make_async_copy(pv_ref.at[h, pid_p], vbuf.at[slot],
+                                  vsem.at[slot]).start()
+
+        @pl.when(jnp.logical_not(in_prompt))
+        def _():
+            pltpu.make_async_copy(gk_ref.at[h, pid_g], kbuf.at[slot],
+                                  ksem.at[slot]).start()
+            pltpu.make_async_copy(gv_ref.at[h, pid_g], vbuf.at[slot],
+                                  vsem.at[slot]).start()
+
+    @pl.when(total > 0)
+    def _():
+        start_dma(0, 0)
+
+    q = q_ref[...].reshape(g, hd).astype(jnp.float32)    # [G, hd]
+
+    def capped(x):
+        if soft_cap is None:
+            return x
+        return jnp.tanh(x / soft_cap) * soft_cap
+
+    def block_step(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < total)
+        def _():
+            start_dma(i + 1, jax.lax.rem(i + 1, 2))
+
+        # wait: both buffers have identical block shape/dtype, so a
+        # canonical descriptor matches the in-flight byte count
+        pltpu.make_async_copy(pk_ref.at[h, 0], kbuf.at[slot],
+                              ksem.at[slot]).wait()
+        pltpu.make_async_copy(pv_ref.at[h, 0], vbuf.at[slot],
+                              vsem.at[slot]).wait()
+
+        kblk = kbuf[slot].astype(jnp.float32)            # [ps, hd]
+        logits = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [G, ps]
+        logits = capped(logits)
+
+        in_prompt = i < np_pages
+        base = jnp.where(in_prompt, i * ps, (i - np_pages) * ps)
+        seglen = jnp.where(in_prompt, plen, glen)
+        col = jax.lax.broadcasted_iota(jnp.int32, (g, ps), 1)
+        valid = (base + col) < seglen
+        logits = jnp.where(valid, logits, _MASK_VALUE)
+
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, vbuf[slot].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((g, 1), _MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, total, block_step, (m0, l0, acc0))
+
+    # in-flight token: always valid (causal attention sees itself), which
+    # keeps the denominator nonzero even with an empty cache
+    ck = kcur_ref[...].reshape(1, hd).astype(jnp.float32)
+    cur = capped(jnp.sum(q * ck, axis=-1, keepdims=True))  # [G, 1]
+    m_new = jnp.maximum(m, cur)
+    p_c = jnp.exp(cur - m_new)
+    alpha = jnp.exp(m - m_new)
+    l = l * alpha + p_c
+    acc = acc * alpha + p_c * vcur_ref[...].reshape(1, hd).astype(jnp.float32)
+    out_ref[...] = (acc / l).reshape(out_ref.shape).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("attn_logits_soft_cap", "interpret"),
+)
+def fused_decode_attention(
+    q: jnp.ndarray,            # [B, H, hd] f32, rope'd + q_scale pre-applied
+    k_cur: jnp.ndarray,        # [B, Hkv, hd] in-flight token K (post-rope)
+    v_cur: jnp.ndarray,        # [B, Hkv, hd]
+    prompt_k_pages: jnp.ndarray,   # [Hkv, NPp, ps, hd]
+    prompt_v_pages: jnp.ndarray,
+    gen_k_pages: jnp.ndarray,      # [Hkv, NPg, ps, hd]
+    gen_v_pages: jnp.ndarray,
+    prompt_lengths: jnp.ndarray,   # [B] int32
+    gen_lengths: jnp.ndarray,      # [B] int32
+    prompt_page_indices: jnp.ndarray,  # [B, PPp]
+    gen_page_indices: jnp.ndarray,     # [B, PPg]
+    *,
+    attn_logits_soft_cap: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Self-attention over prompt pages + generation pages + the in-flight
+    token, in one fused flash pass -> [B, H, hd] f32 (normalized)."""
+    b, h, hd = q.shape
+    hkv, _, ps, _ = prompt_k_pages.shape
+    g = h // hkv
+    ppp = prompt_page_indices.shape[1]
+    ppg = gen_page_indices.shape[1]
+
+    kernel = functools.partial(
+        _kernel,
+        pages_per_prompt=ppp,
+        pages_per_gen=ppg,
+        page_size=ps,
+        soft_cap=attn_logits_soft_cap,
+    )
+
+    if g % 8 != 0:
+        # Mosaic wants the last-two block dims (8, 128)-aligned; tiny GQA
+        # group counts ride a [B, Hkv, G, 1, hd] view instead so the G axis
+        # is not among them (the upstream paged kernel does the same)
+        q_spec = pl.BlockSpec((None, None, g, None, hd),
+                              lambda i, j, *_: (i, j, 0, 0, 0))
+        q_shaped = (b, hkv, g, 1, hd)
+    else:
+        q_spec = pl.BlockSpec((None, g, hd), lambda i, j, *_: (i, j, 0))
+        q_shaped = None
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, hkv),
+        in_specs=[
+            q_spec,
+            pl.BlockSpec((None, None, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((None, None, 1, hd), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=q_spec,
+        scratch_shapes=(
+            pltpu.VMEM((2, ps, hd), prompt_k_pages.dtype),
+            pltpu.VMEM((2, ps, hd), prompt_v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ),
+    )
+
+    q_in = q.astype(jnp.float32)
+    if q_shaped is not None:
+        q_in = q_in.reshape(q_shaped)
+        out_shape = jax.ShapeDtypeStruct(q_shaped, jnp.float32)
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, h, hd), jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        prompt_lengths.astype(jnp.int32),
+        gen_lengths.astype(jnp.int32),
+        prompt_page_indices.reshape(-1).astype(jnp.int32),
+        gen_page_indices.reshape(-1).astype(jnp.int32),
+        q_in,
+        k_cur.reshape(b, hkv, 1, hd),
+        v_cur.reshape(b, hkv, 1, hd),
+        prompt_k_pages,
+        prompt_v_pages,
+        gen_k_pages,
+        gen_v_pages,
+    )
+    return out.reshape(b, h, hd)

@@ -281,6 +281,83 @@ def merge_attention_parts(
     return (num / den[..., None]).astype(out_dtype)
 
 
+def merge_attention_parts_chain(
+    parts,                 # seq of (out [B*S,H,hd], m [B*S,H], l [B*S,H]) f32
+    q: jnp.ndarray,        # [B, S, H, hd] f32, pre-scaled
+    k_chain: jnp.ndarray,  # [B, S, Hkv, hd] the in-flight chain's keys
+    v_chain: jnp.ndarray,
+    attn_logits_soft_cap: Optional[float],
+    out_dtype,
+    store_dtype=None,
+) -> jnp.ndarray:
+    """Flash composition of paged segments + an in-flight S-token chain.
+
+    The multi-token verify pass (decode/speculative.py) attends each chain
+    position i to (a) the paged prompt/generation segments — whose lengths
+    are IDENTICAL for every chain position, so the segment kernels run once
+    over B*S pseudo-rows — and (b) chain positions j <= i, computed densely
+    here with a causal mask and merged through exact flash statistics.
+    Position 0 always sees itself, so the denominator is nonzero even with
+    every segment empty. Generalizes :func:`merge_attention_parts` (S = 1).
+
+    ``store_dtype``: the KV cache's storage dtype. In the sequential engine
+    a token's predecessors are read from the (bf16/f8-quantized) cache while
+    its OWN K/V joins raw through the flash merge; to keep the emitted
+    stream bit-identical, chain positions j < i round-trip through
+    ``store_dtype`` here while the diagonal (j == i) stays raw.
+    Returns [B, S, H, hd]."""
+    b, s_len, h, hd = q.shape
+    hkv = k_chain.shape[2]
+    g = h // hkv
+    qg = q.reshape(b, s_len, hkv, g, hd)
+    k32 = k_chain.astype(jnp.float32)
+    v32 = v_chain.astype(jnp.float32)
+    if store_dtype is not None:
+        # mirror the cache round-trip exactly: pending blocks are held in
+        # bf16 before the store-dtype flush (f32 -> bf16 -> store -> f32)
+        k_st = k_chain.astype(jnp.bfloat16).astype(store_dtype
+                                                   ).astype(jnp.float32)
+        v_st = v_chain.astype(jnp.bfloat16).astype(store_dtype
+                                                   ).astype(jnp.float32)
+    else:
+        k_st, v_st = k32, v32
+    logits = jnp.einsum("bikgh,bjkh->bkgij", qg, k_st)   # [B,Hkv,G,S,S]
+    diag = jnp.einsum("bikgh,bikh->bkgi", qg, k32)       # raw self logits
+    eye = jnp.eye(s_len, dtype=bool)
+    logits = jnp.where(eye[None, None, None], diag[..., None], logits)
+    if attn_logits_soft_cap is not None:
+        logits = jnp.tanh(logits / attn_logits_soft_cap) * attn_logits_soft_cap
+    causal = (jnp.arange(s_len)[None, :] <= jnp.arange(s_len)[:, None])
+    logits = jnp.where(causal[None, None, None], logits, -jnp.inf)
+    m_c = jnp.max(logits, axis=-1)                       # [B,Hkv,G,S]
+    e = jnp.where(causal[None, None, None], jnp.exp(logits - m_c[..., None]),
+                  0.0)
+    l_c = jnp.sum(e, axis=-1)
+    e_off = jnp.where(eye[None, None, None], 0.0, e)
+    e_diag = jnp.einsum("bkgij,ij->bkgi", e, jnp.eye(s_len, dtype=jnp.float32))
+    out_c = (jnp.einsum("bkgij,bjkh->bkgih", e_off, v_st)
+             + e_diag[..., None] * v32.transpose(0, 2, 1, 3)[:, :, None])
+
+    # -> [B, S, H, ...] to line up with the pseudo-batched segment parts
+    m_c = m_c.transpose(0, 3, 1, 2).reshape(b, s_len, h)
+    l_c = l_c.transpose(0, 3, 1, 2).reshape(b, s_len, h)
+    out_c = out_c.transpose(0, 3, 1, 2, 4).reshape(b, s_len, h, hd)
+
+    m_new = m_c
+    for _, m, _ in parts:
+        m_new = jnp.maximum(m_new, m.reshape(b, s_len, h))
+    beta = jnp.exp(m_c - m_new)
+    num = out_c * beta[..., None]
+    den = l_c * beta
+    for out, m, l in parts:
+        m = m.reshape(b, s_len, h)
+        w = l.reshape(b, s_len, h) * jnp.exp(m - m_new)
+        w = jnp.where(jnp.isfinite(m), w, 0.0)
+        num = num + out.reshape(b, s_len, h, hd) * w[..., None]
+        den = den + w
+    return (num / den[..., None]).astype(out_dtype)
+
+
 def paged_gqa_attention(
     q: jnp.ndarray,          # [B, H, hd], rope'd + q_scale pre-applied
     k_pages: jnp.ndarray,    # [Hkv, NP, ps, hd] (NP may cover many layers)

@@ -60,6 +60,75 @@ def test_spec_trace_equals_sequential(setup, dcfg_kw):
         assert int(out.passes) <= int(out.steps)
 
 
+@pytest.fixture(scope="module")
+def paged_setup():
+    """Sliding window widened so the paged cache is legal (the engine's
+    paged mode requires prompt+gen inside the window)."""
+    bb = tiny_voice_config().backbone
+    bb = dataclasses.replace(
+        bb,
+        encoder=dataclasses.replace(bb.encoder, sliding_window=512),
+        decoder=dataclasses.replace(bb.decoder, sliding_window=512))
+    cfg = dataclasses.replace(tiny_voice_config(backbone=bb),
+                              extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b = 2
+    inputs = dict(
+        x=jnp.asarray(rng.integers(3, cfg.text_vocab_size, (b, 12)).astype(np.int32)),
+        x_lens=jnp.asarray([12, 9], jnp.int32),
+        prompt=jnp.asarray(rng.integers(0, cfg.audio_vocab_size, (b, 5)).astype(np.int32)),
+        prompt_lens=jnp.asarray([5, 3], jnp.int32),
+        target_totals=jnp.asarray([40, 30], jnp.int32),
+        rng=jax.random.PRNGKey(7),
+    )
+    return cfg, params, inputs
+
+
+@pytest.mark.parametrize("dcfg_kw", [
+    dict(top_k=1, top_p=1.0, temperature=1.0),   # greedy
+    dict(top_k=8, top_p=0.9, temperature=0.8),   # sampled
+])
+def test_spec_paged_trace_equals_sequential_paged(paged_setup, dcfg_kw):
+    """Paged-cache speculative decode (step-indexed multi-token flush) must
+    equal the sequential paged engine token-for-token."""
+    cfg, params, inputs = paged_setup
+    dcfg = DecodeConfig(max_frames=48, kv_cache="paged", **dcfg_kw)
+    seq = engine.decode_tokens(params, cfg, dcfg, **inputs)
+    seq_toks = np.asarray(seq.tokens)
+
+    heads = speculative.init_mtp_heads(jax.random.PRNGKey(3), cfg, K)
+    for name, draft in [
+        ("mtp", speculative.mtp_draft_fn(heads)),
+        ("oracle", speculative.trace_draft_fn(jnp.asarray(seq_toks), K)),
+    ]:
+        out = speculative.decode_tokens_speculative(
+            params, cfg, dcfg, draft_fn=draft, k=K, **inputs)
+        np.testing.assert_array_equal(np.asarray(out.tokens), seq_toks,
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(out.gen_lens),
+                                      np.asarray(seq.gen_lens), err_msg=name)
+    # the oracle draft must actually multiply tokens-per-pass on the paged
+    # path too (i.e. the paged fast path is really being exercised)
+    assert int(out.steps) / int(out.passes) > 0.8 * (K + 1)
+
+
+def test_spec_paged_buffer_boundary(paged_setup):
+    """Generation running into the max_frames ceiling: the chain's tail
+    writes must not clamp-corrupt valid KV slots (cache_slack)."""
+    cfg, params, inputs = paged_setup
+    # tiny buffer so rows hit forced-stop at max_frames - 1
+    dcfg = DecodeConfig(top_k=1, top_p=1.0, temperature=1.0, max_frames=8,
+                        kv_cache="paged")
+    seq = engine.decode_tokens(params, cfg, dcfg, **inputs)
+    heads = speculative.init_mtp_heads(jax.random.PRNGKey(3), cfg, K)
+    out = speculative.decode_tokens_speculative(
+        params, cfg, dcfg, draft_fn=speculative.mtp_draft_fn(heads), k=K,
+        **inputs)
+    np.testing.assert_array_equal(np.asarray(out.tokens),
+                                  np.asarray(seq.tokens))
+
+
 def test_oracle_draft_multiplies_tokens_per_pass(setup):
     cfg, params, inputs = setup
     dcfg = DecodeConfig(top_k=8, top_p=0.9, temperature=0.8, max_frames=48,

@@ -66,6 +66,9 @@ def main():
     params = jax.jit(lambda k: voice.init_params(k, cfg))(jax.random.PRNGKey(0))
     params = jax.jit(t5gemma.fuse_for_decode, donate_argnums=0)(params)
     params = jax.jit(quantize_params_for_decode, donate_argnums=0)(params)
+    # only the decoder + head are benched; freeing the encoder (+embeddings)
+    # keeps params + the double-buffered cache carry inside 16 GB HBM
+    params = {"decoder": params["decoder"], "head": params["head"]}
     jax.block_until_ready(params)
 
     cache = t5gemma.init_paged_cache(dims, b, args.prompt, args.gen, args.enc)
