@@ -14,7 +14,7 @@ SURVEY.md §7.3). This module implements the conformer stack functionally:
 
 Layers are stacked and scanned; the relative-distance bias uses a clamped
 distance embedding exactly like HF's ``position_embeddings_type='relative_key'``
-(left 64 / right 8). Parity vs torch is tested in tests/test_semantic_parity.py.
+(left 64 / right 8). Parity vs torch is tested in tests/test_codec_encoder.py.
 """
 
 from __future__ import annotations

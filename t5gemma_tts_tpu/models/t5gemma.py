@@ -492,20 +492,23 @@ class PagedDecoderCache(NamedTuple):
 PAGE_SIZE = 128
 
 
-def _use_fused_attn(dims: "ModuleDims") -> bool:
-    """Opt-in (T5G_FUSED_ATTN=1) fused decode attention (ops/fused_attn.py).
+def _fused_attn_mode(dims: "ModuleDims") -> int:
+    """Which fused decode-attention kernel to use (0 = none).
 
-    Measured at batch 64 / prompt 128 / gen 384 @ 50% fill: 21.8 ms/step vs
-    19.5 ms for the two-kernel + merge path — the single launch loses more
-    to per-grid-cell DMA stalls (no cross-cell pipelining, 64 KB transfers)
-    than it saves in dispatch. Kept for A/B until the v2 kernel
-    (batch-only grid, per-page all-head DMAs, cross attention folded in)
-    replaces it."""
+    T5G_FUSED_ATTN: "0" two-kernel + merge; "1" v1 (per-(row, kv-head)
+    grid — measured 21.8 vs 19.5 ms/step at batch 64, kept only for A/B);
+    "2"/default v2 ``fused_layer_attention`` (batch-only grid, all-head page
+    DMAs, cross attention folded in, cross-cell DMA pipelining)."""
     import os
 
-    if os.environ.get("T5G_FUSED_ATTN", "0") != "1":
-        return False
-    return jax.default_backend() == "tpu" and dims.head_dim % 128 == 0
+    mode = int(os.environ.get("T5G_FUSED_ATTN", "2"))
+    if mode == 0 or jax.default_backend() != "tpu":
+        return 0
+    if dims.head_dim % 128 != 0:
+        return 0
+    if mode == 2 and dims.num_heads % 8 != 0:
+        return 0
+    return mode
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -672,6 +675,7 @@ def paged_decode_step(
     """
     from ..ops import fused_attn, paged_attn
 
+    fused_mode = _fused_attn_mode(dims)
     b = inputs_embeds.shape[0]
     h = inputs_embeds * jnp.asarray(
         dims.hidden_size ** 0.5, dtype=inputs_embeds.dtype)
@@ -716,7 +720,19 @@ def paged_decode_step(
         q = rope_ops.apply_rope(q, cos, sin)
         k = rope_ops.apply_rope(k, cos, sin)
         qv = q[:, :, 0].astype(jnp.float32) * dims.q_scale  # [B, H, hd]
-        if _use_fused_attn(dims):
+        if fused_mode == 2:
+            # batch-grid kernel: prompt+gen pages + in-flight token, one
+            # launch, all-head page DMAs, cross-cell pipelining
+            attn = fused_attn.batch_paged_attention(
+                qv, k[:, :, 0], v[:, :, 0],
+                prompt_kp, prompt_vp, gen_kp, gen_vp,
+                prompt_lengths, gen_lengths,
+                _layer_page_indices(li, b, wp),
+                _layer_page_indices(li, b, tg),
+                attn_logits_soft_cap=dims.attn_logit_softcap,
+                include_current=True,
+            ).astype(h.dtype)
+        elif fused_mode == 1:
             # one Pallas launch: prompt pages + gen pages + in-flight token
             attn = fused_attn.fused_decode_attention(
                 qv, k[:, :, 0], v[:, :, 0],
@@ -754,13 +770,21 @@ def paged_decode_step(
         if q_cos is not None:
             cq = rope_ops.apply_rope(cq, q_cos, q_sin)
         cqv = cq[:, :, 0].astype(jnp.float32) * dims.q_scale
-        cattn = paged_attn.paged_gqa_attention(
-            cqv, cross_kp, cross_vp, enc_lengths,
-            page_indices=_layer_page_indices(li, b, tx),
-            attn_logits_soft_cap=dims.attn_logit_softcap,
-            pages_per_compute_block=paged_ppcb(tx // PAGE_SIZE),
-            out_dtype=h.dtype,
-        )
+        if fused_mode == 2:
+            cattn = fused_attn.batch_paged_attention(
+                cqv, None, None, cross_kp, cross_vp, None, None,
+                enc_lengths, None,
+                _layer_page_indices(li, b, tx), None,
+                attn_logits_soft_cap=dims.attn_logit_softcap,
+            ).astype(h.dtype)
+        else:
+            cattn = paged_attn.paged_gqa_attention(
+                cqv, cross_kp, cross_vp, enc_lengths,
+                page_indices=_layer_page_indices(li, b, tx),
+                attn_logits_soft_cap=dims.attn_logit_softcap,
+                pages_per_compute_block=paged_ppcb(tx // PAGE_SIZE),
+                out_dtype=h.dtype,
+            )
         a = _mm(cattn.reshape(b, 1, -1), lp["cross_attn"]["o"])
         h = r + rms_norm(a, lp["post_cross_attn_norm"], dims.rms_norm_eps)
 

@@ -31,7 +31,7 @@ against the composed parts+merge reference).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -162,6 +162,240 @@ def _kernel(
     l = l * alpha + p_c
     acc = acc * alpha + p_c * vcur_ref[...].reshape(1, hd).astype(jnp.float32)
     out_ref[...] = (acc / l).reshape(out_ref.shape).astype(out_ref.dtype)
+
+
+def _batch_kernel(
+    # scalar prefetch
+    alens_s, blens_s, api_s, bpi_s,
+    # inputs
+    q_ref,        # [H, hd] f32 query (pre-scaled, rope'd)
+    kcur_ref,     # [Hkv, 1, hd] in-flight token K (ignored w/o current)
+    vcur_ref,     # [Hkv, 1, hd]
+    ak_ref, av_ref,   # [Hkv, NPa, ps, hd] segment-A pages (HBM)
+    bk_ref, bv_ref,   # [Hkv, NPb, ps, hd] segment-B pages (HBM)
+    # output
+    out_ref,      # [H, hd] f32
+    # scratch
+    kbuf, vbuf,   # [2, Hkv, ps, hd] store dtype
+    ksem, vsem,   # DMA semaphores (2,)
+    slot_ref,     # SMEM (1,) int32 — DMA buffer parity carried across cells
+    *,
+    pages_per_a: int,
+    pages_per_b: int,
+    page_size: int,
+    soft_cap: Optional[float],
+    include_current: bool,
+):
+    """One grid cell = one batch row; every page DMA moves ALL KV heads.
+
+    The cell walks its valid segment-A pages then segment-B pages with one
+    double-buffered DMA stream; the LAST block of a cell prefetches the
+    NEXT cell's first block, so the pipeline never drains at cell
+    boundaries (the buffer parity rides SMEM scratch across grid
+    iterations — the same trick as the upstream paged kernel's
+    buffer_index). With ``include_current`` the in-flight token's K/V joins
+    the flash statistics at the end (decode self-attention); without it the
+    caller guarantees segment A is non-empty (cross attention)."""
+    b = pl.program_id(0)
+    n_cells = pl.num_programs(0)
+    _, hkv, ps, hd = kbuf.shape
+    h_all = q_ref.shape[0]
+    g = h_all // hkv
+
+    def counts(cell):
+        return pl.cdiv(alens_s[cell], ps), pl.cdiv(blens_s[cell], ps)
+
+    na, nb_seg = counts(b)
+    nblocks = na + nb_seg
+    alen = alens_s[b]
+    blen = blens_s[b]
+
+    def start_dma(cell, i, slot, n_a):
+        in_a = i < n_a
+        ia = jnp.minimum(i, pages_per_a - 1)
+        ib = jnp.clip(i - n_a, 0, pages_per_b - 1)
+        pid_a = api_s[cell * pages_per_a + ia]
+        pid_b = bpi_s[cell * pages_per_b + ib]
+
+        @pl.when(in_a)
+        def _():
+            pltpu.make_async_copy(ak_ref.at[:, pid_a], kbuf.at[slot],
+                                  ksem.at[slot]).start()
+            pltpu.make_async_copy(av_ref.at[:, pid_a], vbuf.at[slot],
+                                  vsem.at[slot]).start()
+
+        @pl.when(jnp.logical_not(in_a))
+        def _():
+            pltpu.make_async_copy(bk_ref.at[:, pid_b], kbuf.at[slot],
+                                  ksem.at[slot]).start()
+            pltpu.make_async_copy(bv_ref.at[:, pid_b], vbuf.at[slot],
+                                  vsem.at[slot]).start()
+
+    @pl.when(b == 0)
+    def _():
+        slot_ref[0] = 0
+        start_dma(0, 0, 0, na)
+
+    s0 = slot_ref[0]
+    q = q_ref[...].astype(jnp.float32).reshape(hkv, g, hd)
+
+    def capped(x):
+        if soft_cap is None:
+            return x
+        return jnp.tanh(x / soft_cap) * soft_cap
+
+    def block_step(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(s0 + i, 2)
+        nxt = jax.lax.rem(s0 + i + 1, 2)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            start_dma(b, i + 1, nxt, na)
+
+        @pl.when(jnp.logical_and(i + 1 == nblocks, b + 1 < n_cells))
+        def _():
+            n_a1, _ = counts(b + 1)
+            start_dma(b + 1, 0, nxt, n_a1)
+
+        pltpu.make_async_copy(ak_ref.at[:, 0], kbuf.at[slot],
+                              ksem.at[slot]).wait()
+        pltpu.make_async_copy(av_ref.at[:, 0], vbuf.at[slot],
+                              vsem.at[slot]).wait()
+
+        kblk = kbuf[slot].astype(jnp.float32)            # [Hkv, ps, hd]
+        in_a = i < na
+        base = jnp.where(in_a, i * ps, (i - na) * ps)
+        seglen = jnp.where(in_a, alen, blen)
+        col = jax.lax.broadcasted_iota(jnp.int32, (hkv, g, ps), 2)
+        valid = (base + col) < seglen
+
+        logits = capped(jax.lax.dot_general(
+            q, kblk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))         # [Hkv, G, ps]
+        logits = jnp.where(valid, logits, _MASK_VALUE)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, vbuf[slot].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((hkv, g, 1), _MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((hkv, g, 1), jnp.float32)
+    acc0 = jnp.zeros((hkv, g, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblocks, block_step, (m0, l0, acc0))
+    slot_ref[0] = jax.lax.rem(s0 + nblocks, 2)
+
+    if include_current:
+        ck = kcur_ref[...].reshape(hkv, 1, hd).astype(jnp.float32)
+        cv = vcur_ref[...].reshape(hkv, 1, hd).astype(jnp.float32)
+        cur = capped(jnp.sum(q * ck, axis=-1, keepdims=True))  # [Hkv, G, 1]
+        m_new = jnp.maximum(m, cur)
+        p_c = jnp.exp(cur - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + p_c
+        acc = acc * alpha + p_c * cv
+    out_ref[...] = (acc / jnp.where(l > 0.0, l, 1.0)
+                    ).reshape(h_all, hd).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("attn_logits_soft_cap", "include_current", "interpret"),
+)
+def batch_paged_attention(
+    q: jnp.ndarray,            # [B, H, hd] f32, rope'd + q_scale pre-applied
+    k_cur: Optional[jnp.ndarray],   # [B, Hkv, hd] in-flight K, or None
+    v_cur: Optional[jnp.ndarray],
+    a_k_pages: jnp.ndarray,    # [Hkv, NPa, ps, hd]
+    a_v_pages: jnp.ndarray,
+    b_k_pages: Optional[jnp.ndarray],   # [Hkv, NPb, ps, hd] or None
+    b_v_pages: Optional[jnp.ndarray],
+    a_lengths: jnp.ndarray,    # [B] int32
+    b_lengths: Optional[jnp.ndarray],
+    a_page_indices: jnp.ndarray,        # [B, PPa]
+    b_page_indices: Optional[jnp.ndarray],
+    *,
+    attn_logits_soft_cap: Optional[float] = None,
+    include_current: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over up to two paged segments (+ the in-flight
+    token) with a batch-only grid -> [B, H, hd] f32, normalized.
+
+    The decode hot loop calls this twice per layer: self attention (A =
+    prompt, B = generation, include_current=True) and cross attention
+    (A = encoder pages alone). Requires H % 8 == 0 on TPU. Without
+    ``include_current`` segment A must be non-empty for every row."""
+    b, h, hd = q.shape
+    hkv, _, ps, _ = a_k_pages.shape
+    if b_k_pages is None:
+        b_k_pages = a_k_pages[:, :1]
+        b_v_pages = a_v_pages[:, :1]
+        b_lengths = jnp.zeros((b,), jnp.int32)
+        b_page_indices = jnp.zeros((b, 1), jnp.int32)
+    if k_cur is None:
+        k_cur = jnp.zeros((b, hkv, hd), jnp.float32)
+        v_cur = k_cur
+    ppa = a_page_indices.shape[1]
+    ppb = b_page_indices.shape[1]
+
+    kernel = functools.partial(
+        _batch_kernel,
+        pages_per_a=ppa,
+        pages_per_b=ppb,
+        page_size=ps,
+        soft_cap=attn_logits_soft_cap,
+        include_current=include_current,
+    )
+
+    row_spec = pl.BlockSpec((None, h, hd), lambda i, *_: (i, 0, 0))
+    cur_spec = pl.BlockSpec((None, hkv, 1, hd), lambda i, *_: (i, 0, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[
+            row_spec, cur_spec, cur_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=row_spec,
+        scratch_shapes=(
+            pltpu.VMEM((2, hkv, ps, hd), a_k_pages.dtype),
+            pltpu.VMEM((2, hkv, ps, hd), a_v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+        ),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        a_lengths.astype(jnp.int32),
+        b_lengths.astype(jnp.int32),
+        a_page_indices.reshape(-1).astype(jnp.int32),
+        b_page_indices.reshape(-1).astype(jnp.int32),
+        q.astype(jnp.float32),
+        k_cur.reshape(b, hkv, 1, hd),
+        v_cur.reshape(b, hkv, 1, hd),
+        a_k_pages,
+        a_v_pages,
+        b_k_pages,
+        b_v_pages,
+    )
+    return out
 
 
 @functools.partial(

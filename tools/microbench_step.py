@@ -116,8 +116,27 @@ def main():
     cross_vp = t5gemma._pages_view(cache.cross_v)
     gen_lengths = jnp.full((b,), step0, jnp.int32)
 
+    fused_mode = t5gemma._fused_attn_mode(dims)
+
     def attn_layer(q, li, prompt_kp, prompt_vp, gen_kp, gen_vp,
                    cross_kp, cross_vp):
+        if fused_mode == 2:
+            from t5gemma_tts_tpu.ops import fused_attn
+
+            out = fused_attn.batch_paged_attention(
+                q, kc, kc, prompt_kp, prompt_vp, gen_kp, gen_vp,
+                plens, gen_lengths,
+                t5gemma._layer_page_indices(li, b, wp),
+                t5gemma._layer_page_indices(li, b, tg),
+                attn_logits_soft_cap=dims.attn_logit_softcap,
+                include_current=True,
+            )
+            cross = fused_attn.batch_paged_attention(
+                q, None, None, cross_kp, cross_vp, None, None, elens, None,
+                t5gemma._layer_page_indices(li, b, tx), None,
+                attn_logits_soft_cap=dims.attn_logit_softcap,
+            )
+            return out + cross
         parts = [
             paged_attn.paged_flash_parts(
                 q, prompt_kp, prompt_vp, plens,
