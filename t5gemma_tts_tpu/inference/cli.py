@@ -129,16 +129,10 @@ def run_inference(args: argparse.Namespace) -> str:
 
     prefix = ""
     if not no_ref and not has_ref_text:
-        try:
-            import whisper
+        from .transcribe import load_transcriber
 
-            wh = whisper.load_model("large-v3-turbo")
-            prefix = wh.transcribe(reference_speech)["text"]
-            print(f"[Info] Whisper transcribed text: {prefix}")
-        except ImportError as exc:
-            raise RuntimeError(
-                "whisper not installed; pass --reference_text explicitly"
-            ) from exc
+        prefix = load_transcriber()(reference_speech)
+        print(f"[Info] Whisper transcribed text: {prefix}")
     elif has_ref_text:
         prefix = ref_text
 

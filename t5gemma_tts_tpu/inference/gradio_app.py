@@ -41,9 +41,15 @@ def _load_resources(model_dir: str, codec_dir: Optional[str],
 
 @lru_cache(maxsize=1)
 def _load_whisper():
-    import whisper
+    from .transcribe import load_transcriber
 
-    return whisper.load_model("large-v3-turbo")
+    transcriber = load_transcriber()
+
+    class _Compat:  # .transcribe(path)["text"] shape, as the UI callback uses
+        def transcribe(self, path):
+            return {"text": transcriber(path)}
+
+    return _Compat()
 
 
 def make_infer_fn(model_dir: str, codec_dir: Optional[str] = None,
