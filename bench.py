@@ -46,7 +46,7 @@ def main():
                     help="latency: batch-1 p50 single-utterance wall time "
                          "(BASELINE.md per-config latency metric)")
     ap.add_argument("--kv", default="auto",
-                    choices=["auto", "dense", "paged", "paged_f8"],
+                    choices=["auto", "dense", "paged", "paged_f8", "paged_i8"],
                     help="KV-cache strategy (see DecodeConfig.kv_cache)")
     ap.add_argument("--approx-topk", dest="approx_topk", action="store_true",
                     default=True,

@@ -63,7 +63,7 @@ def resolve_kv_mode(cfg: VoiceConfig, dcfg: DecodeConfig,
     if mode == "auto":
         fits = total <= dims.sliding_window
         return "paged" if (jax.default_backend() == "tpu" and fits) else "dense"
-    if mode in ("paged", "paged_f8"):
+    if mode in ("paged", "paged_f8", "paged_i8"):
         if total > dims.sliding_window:
             raise ValueError(
                 f"kv_cache={mode!r} needs prompt+gen ({total}) <= "
@@ -206,7 +206,7 @@ def prefill(
         )
     else:
         store = paged_attn.KV_STORE_DTYPES[
-            "f8" if kv_mode == "paged_f8" else "bf16"]
+            {"paged_f8": "f8", "paged_i8": "i8"}.get(kv_mode, "bf16")]
         cache = t5gemma.init_paged_cache(dims, b, p_max + 1, max_steps,
                                          x.shape[1], store_dtype=store)
         hidden, cache = t5gemma.paged_prefill(

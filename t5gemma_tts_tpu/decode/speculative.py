@@ -181,6 +181,10 @@ def decode_tokens_speculative(
     """
     kv_mode = engine.resolve_kv_mode(cfg, dcfg, prompt.shape[1] + 1,
                                      dcfg.max_frames + k)
+    if kv_mode == "paged_i8":
+        raise ValueError(
+            "speculative decode supports dense/paged/paged_f8 KV caches; "
+            "the int8 cache's segment kernels do not expose flash stats yet")
     dcfg = dataclasses.replace(dcfg, kv_cache=kv_mode)
     paged = kv_mode in ("paged", "paged_f8")
     s = cfg.special

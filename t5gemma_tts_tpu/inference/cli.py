@@ -51,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--codec_dir", default=None,
                    help="local dir with XCodec2 model.safetensors")
     p.add_argument("--kv_cache", default="auto",
-                   choices=["auto", "dense", "paged", "paged_f8"],
+                   choices=["auto", "dense", "paged", "paged_f8", "paged_i8"],
                    help="decode KV-cache strategy (see DecodeConfig.kv_cache)")
     p.add_argument("--approx_top_k", action="store_true",
                    help="TPU-native approximate top-k candidate fetch")

@@ -485,6 +485,14 @@ class PagedDecoderCache(NamedTuple):
     cross_v: jnp.ndarray
     pending_k: jnp.ndarray
     pending_v: jnp.ndarray
+    # int8 mode (kv_cache="paged_i8"): per-token dequantization scales,
+    # [Hkv, L*B, T] f32 alongside each int8 value buffer; None otherwise
+    prompt_k_scale: Optional[jnp.ndarray] = None
+    prompt_v_scale: Optional[jnp.ndarray] = None
+    gen_k_scale: Optional[jnp.ndarray] = None
+    gen_v_scale: Optional[jnp.ndarray] = None
+    cross_k_scale: Optional[jnp.ndarray] = None
+    cross_v_scale: Optional[jnp.ndarray] = None
 
 
 # 128 measured fastest at batch 64 / 2b-2b (17.4 ms/step vs 19.5 at 64 and
@@ -543,6 +551,11 @@ def init_paged_cache(
     tx = _pad_to(enc_len, PAGE_SIZE)
     l, hkv, hd = dims.num_layers, dims.num_kv_heads, dims.head_dim
     lb = l * batch
+    quant = jnp.dtype(store_dtype) == jnp.int8
+
+    def scale(t):
+        return jnp.zeros((hkv, lb, t), jnp.float32) if quant else None
+
     return PagedDecoderCache(
         prompt_k=jnp.zeros((hkv, lb, wp, hd), store_dtype),
         prompt_v=jnp.zeros((hkv, lb, wp, hd), store_dtype),
@@ -552,6 +565,9 @@ def init_paged_cache(
         cross_v=jnp.zeros((hkv, lb, tx, hd), store_dtype),
         pending_k=jnp.zeros((l, batch, hkv, hd), jnp.bfloat16),
         pending_v=jnp.zeros((l, batch, hkv, hd), jnp.bfloat16),
+        prompt_k_scale=scale(wp), prompt_v_scale=scale(wp),
+        gen_k_scale=scale(tg), gen_v_scale=scale(tg),
+        cross_k_scale=scale(tx), cross_v_scale=scale(tx),
     )
 
 
@@ -559,6 +575,14 @@ def _pages_view(buf: jnp.ndarray) -> jnp.ndarray:
     """[Hkv, L*B, T, hd] -> [Hkv, L*B*(T/ps), ps, hd] (free reshape)."""
     hkv, lb, t, hd = buf.shape
     return buf.reshape(hkv, lb * (t // PAGE_SIZE), PAGE_SIZE, hd)
+
+
+def _scale_pages_view(buf: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """[Hkv, L*B, T] -> [Hkv, L*B*(T/ps), ps] (free reshape)."""
+    if buf is None:
+        return None
+    hkv, lb, t = buf.shape
+    return buf.reshape(hkv, lb * (t // PAGE_SIZE), PAGE_SIZE)
 
 
 def _layer_page_indices(li, batch: int, t: int) -> jnp.ndarray:
@@ -603,16 +627,33 @@ def paged_prefill(
     sliding_flags = jnp.asarray(dims.sliding_flags)
     layer_ids = jnp.arange(dims.num_layers)
 
-    def write_layer(buf, kv, li):
-        # buf [Hkv, L*B, Wbuf, hd]; kv [B, Hkv, Wkv, hd] (prompt or encoder)
-        block = kv.swapaxes(0, 1).astype(buf.dtype)        # [Hkv, B, Wkv, hd]
+    quant = cache.gen_k.dtype == jnp.int8
+
+    def write_layer(buf, kv, li, scale_buf=None):
+        # buf [Hkv, L*B, Wbuf, hd]; kv [B, Hkv, Wkv, hd] (prompt or encoder);
+        # int8 mode also writes the per-token scale plane [Hkv, L*B, Wbuf]
+        if quant:
+            from ..ops.fused_attn import quantize_kv
+
+            qv, sc = quantize_kv(kv.astype(jnp.bfloat16))
+            block = qv.swapaxes(0, 1)                      # [Hkv, B, Wkv, hd]
+            sblock = sc.swapaxes(0, 1)                     # [Hkv, B, Wkv]
+        else:
+            block = kv.swapaxes(0, 1).astype(buf.dtype)
+            sblock = None
         wkv, wbuf = kv.shape[2], buf.shape[2]
         if wkv < wbuf:
             block = jnp.pad(block, ((0, 0), (0, 0), (0, wbuf - wkv), (0, 0)))
-        return jax.lax.dynamic_update_slice(buf, block, (0, li * b, 0, 0))
+            if sblock is not None:
+                sblock = jnp.pad(sblock, ((0, 0), (0, 0), (0, wbuf - wkv)))
+        buf = jax.lax.dynamic_update_slice(buf, block, (0, li * b, 0, 0))
+        if sblock is not None:
+            scale_buf = jax.lax.dynamic_update_slice(
+                scale_buf, sblock, (0, li * b, 0))
+        return buf, scale_buf
 
     def body(carry, xs):
-        h, pk, pv, ck, cv = carry
+        (h, pk, pv, ck, cv), (pks, pvs, cks, cvs) = carry
         lp, is_sliding, li, (xk, xv) = xs
         bias = jnp.where(is_sliding, self_sliding_bias, self_full_bias)
 
@@ -621,8 +662,8 @@ def paged_prefill(
         q, k, v = _qkv_proj(lp["self_attn"], hn, dims)
         q = rope_ops.apply_rope(q, cos, sin)
         k = rope_ops.apply_rope(k, cos, sin)
-        pk = write_layer(pk, k, li)
-        pv = write_layer(pv, v, li)
+        pk, pks = write_layer(pk, k, li, pks)
+        pv, pvs = write_layer(pv, v, li, pvs)
         out = gqa_attention(q, k, v, bias, dims.q_scale,
                             dims.attn_logit_softcap)
         a = _mm(_merge_heads(out), lp["self_attn"]["o"])
@@ -634,22 +675,26 @@ def paged_prefill(
         a = cross_attention(lp["cross_attn"], hn, (xk, xv), cross_bias, dims,
                             q_cos, q_sin)
         h = r + rms_norm(a, lp["post_cross_attn_norm"], dims.rms_norm_eps)
-        ck = write_layer(ck, xk, li)
-        cv = write_layer(cv, xv, li)
+        ck, cks = write_layer(ck, xk, li, cks)
+        cv, cvs = write_layer(cv, xv, li, cvs)
 
         r = h
         hn = rms_norm(h, lp["pre_ff_norm"], dims.rms_norm_eps)
         h = r + rms_norm(mlp(lp["mlp"], hn), lp["post_ff_norm"],
                          dims.rms_norm_eps)
-        return (h, pk, pv, ck, cv), None
+        return ((h, pk, pv, ck, cv), (pks, pvs, cks, cvs)), None
 
-    (h, pk, pv, ck, cv), _ = jax.lax.scan(
+    ((h, pk, pv, ck, cv), (pks, pvs, cks, cvs)), _ = jax.lax.scan(
         body,
-        (h, cache.prompt_k, cache.prompt_v, cache.cross_k, cache.cross_v),
+        ((h, cache.prompt_k, cache.prompt_v, cache.cross_k, cache.cross_v),
+         (cache.prompt_k_scale, cache.prompt_v_scale,
+          cache.cross_k_scale, cache.cross_v_scale)),
         (params["layers"], sliding_flags, layer_ids, (cross_k, cross_v)),
     )
     h = rms_norm(h, params["final_norm"], dims.rms_norm_eps)
-    return h, cache._replace(prompt_k=pk, prompt_v=pv, cross_k=ck, cross_v=cv)
+    return h, cache._replace(prompt_k=pk, prompt_v=pv, cross_k=ck, cross_v=cv,
+                             prompt_k_scale=pks, prompt_v_scale=pvs,
+                             cross_k_scale=cks, cross_v_scale=cvs)
 
 
 def paged_decode_step(
@@ -676,6 +721,12 @@ def paged_decode_step(
     from ..ops import fused_attn, paged_attn
 
     fused_mode = _fused_attn_mode(dims)
+    interp = False
+    if cache.gen_k.dtype == jnp.int8:
+        # int8 pages dequantize inside the batch kernel only; off-TPU the
+        # kernel runs in interpreter mode (tiny test configs)
+        fused_mode = 2
+        interp = jax.default_backend() != "tpu"
     b = inputs_embeds.shape[0]
     h = inputs_embeds * jnp.asarray(
         dims.hidden_size ** 0.5, dtype=inputs_embeds.dtype)
@@ -694,20 +745,37 @@ def paged_decode_step(
     # the uniform step slot (slot 0 gets zeros on the very first step — it is
     # invisible then, gen length is 0 — and is overwritten by step 0's flush)
     flush_slot = jnp.maximum(step - 1, 0)
-    gk = jax.lax.dynamic_update_slice(
-        cache.gen_k,
-        cache.pending_k.transpose(2, 0, 1, 3).reshape(
-            dims.num_kv_heads, -1, 1, dims.head_dim).astype(cache.gen_k.dtype),
-        (0, 0, flush_slot, 0))
-    gv = jax.lax.dynamic_update_slice(
-        cache.gen_v,
-        cache.pending_v.transpose(2, 0, 1, 3).reshape(
-            dims.num_kv_heads, -1, 1, dims.head_dim).astype(cache.gen_v.dtype),
-        (0, 0, flush_slot, 0))
+    quant = cache.gen_k.dtype == jnp.int8
+    gks = gvs = None
+
+    def flush(buf, pending, scale_buf):
+        if quant:
+            from ..ops.fused_attn import quantize_kv
+
+            qv, sc = quantize_kv(pending)                   # [L,B,Hkv,*]
+            block = qv.transpose(2, 0, 1, 3).reshape(
+                dims.num_kv_heads, -1, 1, dims.head_dim)
+            sblock = sc.transpose(2, 0, 1).reshape(
+                dims.num_kv_heads, -1, 1)
+            scale_buf = jax.lax.dynamic_update_slice(
+                scale_buf, sblock, (0, 0, flush_slot))
+        else:
+            block = pending.transpose(2, 0, 1, 3).reshape(
+                dims.num_kv_heads, -1, 1, dims.head_dim).astype(buf.dtype)
+        return (jax.lax.dynamic_update_slice(buf, block, (0, 0, flush_slot, 0)),
+                scale_buf)
+
+    gk, gks = flush(cache.gen_k, cache.pending_k, cache.gen_k_scale)
+    gv, gvs = flush(cache.gen_v, cache.pending_v, cache.gen_v_scale)
 
     prompt_kp, prompt_vp = _pages_view(cache.prompt_k), _pages_view(cache.prompt_v)
     gen_kp, gen_vp = _pages_view(gk), _pages_view(gv)
     cross_kp, cross_vp = _pages_view(cache.cross_k), _pages_view(cache.cross_v)
+    prompt_ksp = _scale_pages_view(cache.prompt_k_scale)
+    prompt_vsp = _scale_pages_view(cache.prompt_v_scale)
+    gen_ksp, gen_vsp = _scale_pages_view(gks), _scale_pages_view(gvs)
+    cross_ksp = _scale_pages_view(cache.cross_k_scale)
+    cross_vsp = _scale_pages_view(cache.cross_v_scale)
     gen_lengths = jnp.broadcast_to(step.astype(jnp.int32), (b,))
     prompt_lengths = prompt_lengths.astype(jnp.int32)
 
@@ -729,8 +797,10 @@ def paged_decode_step(
                 prompt_lengths, gen_lengths,
                 _layer_page_indices(li, b, wp),
                 _layer_page_indices(li, b, tg),
+                prompt_ksp, prompt_vsp, gen_ksp, gen_vsp,
                 attn_logits_soft_cap=dims.attn_logit_softcap,
                 include_current=True,
+                interpret=interp,
             ).astype(h.dtype)
         elif fused_mode == 1:
             # one Pallas launch: prompt pages + gen pages + in-flight token
@@ -775,7 +845,9 @@ def paged_decode_step(
                 cqv, None, None, cross_kp, cross_vp, None, None,
                 enc_lengths, None,
                 _layer_page_indices(li, b, tx), None,
+                cross_ksp, cross_vsp, None, None,
                 attn_logits_soft_cap=dims.attn_logit_softcap,
+                interpret=interp,
             ).astype(h.dtype)
         else:
             cattn = paged_attn.paged_gqa_attention(
@@ -798,7 +870,7 @@ def paged_decode_step(
                                      unroll=unroll)
     h = rms_norm(h, params["final_norm"], dims.rms_norm_eps)
     return h, cache._replace(
-        gen_k=gk, gen_v=gv,
+        gen_k=gk, gen_v=gv, gen_k_scale=gks, gen_v_scale=gvs,
         pending_k=k_new.astype(jnp.bfloat16),
         pending_v=v_new.astype(jnp.bfloat16),
     )

@@ -41,6 +41,20 @@ from jax.experimental.pallas import tpu as pltpu
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token symmetric int8 quantization over the last (head) dim.
+
+    x [..., hd] float -> (int8 [..., hd], scale [...] f32) with
+    dequantization ``int8 * scale``. The int8 KV cache stores these pages +
+    scale planes; per-token scaling keeps the attention-output error well
+    under fp8-e4m3's (~2%) while halving cache DMA bytes."""
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def _kernel(
     # scalar prefetch
     plens_s, glens_s, ppi_s, gpi_s,
@@ -173,11 +187,15 @@ def _batch_kernel(
     vcur_ref,     # [Hkv, 1, hd]
     ak_ref, av_ref,   # [Hkv, NPa, ps, hd] segment-A pages (HBM)
     bk_ref, bv_ref,   # [Hkv, NPb, ps, hd] segment-B pages (HBM)
+    ask_ref, asv_ref,  # [Hkv, NPa, ps] f32 per-token scales (int8 mode)
+    bsk_ref, bsv_ref,  # [Hkv, NPb, ps] f32
     # output
     out_ref,      # [H, hd] f32
     # scratch
     kbuf, vbuf,   # [2, Hkv, ps, hd] store dtype
+    skbuf, svbuf,  # [2, Hkv, ps] f32 scale blocks
     ksem, vsem,   # DMA semaphores (2,)
+    sksem, svsem,
     slot_ref,     # SMEM (1,) int32 — DMA buffer parity carried across cells
     *,
     pages_per_a: int,
@@ -185,6 +203,7 @@ def _batch_kernel(
     page_size: int,
     soft_cap: Optional[float],
     include_current: bool,
+    quantized: bool,
 ):
     """One grid cell = one batch row; every page DMA moves ALL KV heads.
 
@@ -223,6 +242,11 @@ def _batch_kernel(
                                   ksem.at[slot]).start()
             pltpu.make_async_copy(av_ref.at[:, pid_a], vbuf.at[slot],
                                   vsem.at[slot]).start()
+            if quantized:
+                pltpu.make_async_copy(ask_ref.at[:, pid_a], skbuf.at[slot],
+                                      sksem.at[slot]).start()
+                pltpu.make_async_copy(asv_ref.at[:, pid_a], svbuf.at[slot],
+                                      svsem.at[slot]).start()
 
         @pl.when(jnp.logical_not(in_a))
         def _():
@@ -230,6 +254,11 @@ def _batch_kernel(
                                   ksem.at[slot]).start()
             pltpu.make_async_copy(bv_ref.at[:, pid_b], vbuf.at[slot],
                                   vsem.at[slot]).start()
+            if quantized:
+                pltpu.make_async_copy(bsk_ref.at[:, pid_b], skbuf.at[slot],
+                                      sksem.at[slot]).start()
+                pltpu.make_async_copy(bsv_ref.at[:, pid_b], svbuf.at[slot],
+                                      svsem.at[slot]).start()
 
     @pl.when(b == 0)
     def _():
@@ -262,8 +291,15 @@ def _batch_kernel(
                               ksem.at[slot]).wait()
         pltpu.make_async_copy(av_ref.at[:, 0], vbuf.at[slot],
                               vsem.at[slot]).wait()
+        if quantized:
+            pltpu.make_async_copy(ask_ref.at[:, 0], skbuf.at[slot],
+                                  sksem.at[slot]).wait()
+            pltpu.make_async_copy(asv_ref.at[:, 0], svbuf.at[slot],
+                                  svsem.at[slot]).wait()
 
         kblk = kbuf[slot].astype(jnp.float32)            # [Hkv, ps, hd]
+        if quantized:
+            kblk = kblk * skbuf[slot][..., None]
         in_a = i < na
         base = jnp.where(in_a, i * ps, (i - na) * ps)
         seglen = jnp.where(in_a, alen, blen)
@@ -278,8 +314,11 @@ def _batch_kernel(
         p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        vblk = vbuf[slot].astype(jnp.float32)
+        if quantized:
+            vblk = vblk * svbuf[slot][..., None]
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, vbuf[slot].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            p, vblk, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
@@ -318,6 +357,10 @@ def batch_paged_attention(
     b_lengths: Optional[jnp.ndarray],
     a_page_indices: jnp.ndarray,        # [B, PPa]
     b_page_indices: Optional[jnp.ndarray],
+    a_k_scales: Optional[jnp.ndarray] = None,   # [Hkv, NPa, ps] f32 (int8)
+    a_v_scales: Optional[jnp.ndarray] = None,
+    b_k_scales: Optional[jnp.ndarray] = None,
+    b_v_scales: Optional[jnp.ndarray] = None,
     *,
     attn_logits_soft_cap: Optional[float] = None,
     include_current: bool = False,
@@ -329,14 +372,25 @@ def batch_paged_attention(
     The decode hot loop calls this twice per layer: self attention (A =
     prompt, B = generation, include_current=True) and cross attention
     (A = encoder pages alone). Requires H % 8 == 0 on TPU. Without
-    ``include_current`` segment A must be non-empty for every row."""
+    ``include_current`` segment A must be non-empty for every row.
+    With ``a_k_scales`` the pages are int8 and each token dequantizes as
+    ``int8 * scale`` inside the kernel (per-token, per-kv-head scales) —
+    half the cache DMA bytes of bf16 with native converts."""
     b, h, hd = q.shape
     hkv, _, ps, _ = a_k_pages.shape
+    quantized = a_k_scales is not None
     if b_k_pages is None:
         b_k_pages = a_k_pages[:, :1]
         b_v_pages = a_v_pages[:, :1]
         b_lengths = jnp.zeros((b,), jnp.int32)
         b_page_indices = jnp.zeros((b, 1), jnp.int32)
+        if quantized:
+            b_k_scales = a_k_scales[:, :1]
+            b_v_scales = a_v_scales[:, :1]
+    if not quantized:
+        # dummies: never DMA'd (quantized=False skips all scale traffic)
+        a_k_scales = a_v_scales = jnp.zeros((hkv, 1, ps), jnp.float32)
+        b_k_scales = b_v_scales = a_k_scales
     if k_cur is None:
         k_cur = jnp.zeros((b, hkv, hd), jnp.float32)
         v_cur = k_cur
@@ -350,6 +404,7 @@ def batch_paged_attention(
         page_size=ps,
         soft_cap=attn_logits_soft_cap,
         include_current=include_current,
+        quantized=quantized,
     )
 
     row_spec = pl.BlockSpec((None, h, hd), lambda i, *_: (i, 0, 0))
@@ -363,11 +418,19 @@ def batch_paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=row_spec,
         scratch_shapes=(
             pltpu.VMEM((2, hkv, ps, hd), a_k_pages.dtype),
             pltpu.VMEM((2, hkv, ps, hd), a_v_pages.dtype),
+            pltpu.VMEM((2, hkv, ps), jnp.float32),
+            pltpu.VMEM((2, hkv, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
@@ -394,6 +457,10 @@ def batch_paged_attention(
         a_v_pages,
         b_k_pages,
         b_v_pages,
+        a_k_scales,
+        a_v_scales,
+        b_k_scales,
+        b_v_scales,
     )
     return out
 

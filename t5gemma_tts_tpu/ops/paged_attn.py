@@ -53,6 +53,7 @@ _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 KV_STORE_DTYPES = {
     "bf16": jnp.bfloat16,
     "f8": jnp.float8_e4m3fn,
+    "i8": jnp.int8,    # + per-token scale planes (ops/fused_attn.quantize_kv)
 }
 
 

@@ -164,6 +164,30 @@ def test_engine_paged_sampled_runs_and_stops():
         assert np.all(lens > 0) and np.all(lens <= 48)
 
 
+def test_engine_paged_i8_matches_dense_mostly():
+    """int8 KV cache (per-token scales, in-kernel dequant): greedy decode
+    agrees with the dense cache on the overwhelming majority of tokens
+    (quantization noise may flip occasional near-ties of a random model)."""
+    cfg = dataclasses.replace(_paged_test_cfg(), extra_cutoff=0.0)
+    outs = _decode_all_modes(cfg, dict(top_k=1, temperature=1.0,
+                                       max_frames=40))
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b = 2
+    x = jnp.asarray(rng.integers(3, cfg.text_vocab_size, (b, 12)).astype(np.int32))
+    x_lens = jnp.asarray([12, 9], jnp.int32)
+    prompt = jnp.asarray(rng.integers(0, cfg.audio_vocab_size, (b, 5)).astype(np.int32))
+    prompt_lens = jnp.asarray([5, 3], jnp.int32)
+    targets = jnp.asarray([40, 30], jnp.int32)
+    out = engine.decode_tokens(
+        params, cfg, DecodeConfig(kv_cache="paged_i8", top_k=1,
+                                  temperature=1.0, max_frames=40),
+        x, x_lens, prompt, prompt_lens, targets, jax.random.PRNGKey(7))
+    agree = (np.asarray(out.tokens) == outs["dense"][0]).mean()
+    assert agree > 0.8, f"paged_i8 greedy agreement too low: {agree}"
+    assert np.asarray(out.gen_lens).min() > 0
+
+
 def test_resolve_kv_mode():
     cfg = _paged_test_cfg()  # window 512
     dcfg = DecodeConfig(kv_cache="auto", max_frames=64)
