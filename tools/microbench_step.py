@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--fill", type=float, default=0.5,
                     help="fraction of the gen buffer counted as valid")
     ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "f8", "i8"],
+                    help="KV-cache store dtype (paged_i8 adds scale planes)")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +73,10 @@ def main():
     params = {"decoder": params["decoder"], "head": params["head"]}
     jax.block_until_ready(params)
 
-    cache = t5gemma.init_paged_cache(dims, b, args.prompt, args.gen, args.enc)
+    from t5gemma_tts_tpu.ops.paged_attn import KV_STORE_DTYPES
+
+    cache = t5gemma.init_paged_cache(dims, b, args.prompt, args.gen, args.enc,
+                                     store_dtype=KV_STORE_DTYPES[args.kv])
     emb = jnp.zeros((b, 1, dims.hidden_size), jnp.bfloat16)
     pos = jnp.zeros((b, 1), jnp.float32)
     plens = jnp.full((b,), args.prompt, jnp.int32)
