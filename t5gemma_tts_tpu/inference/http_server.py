@@ -4,6 +4,11 @@ POST /synthesize     JSON body -> 16-bit PCM wav bytes (audio/wav)
     {"target_text": "...", "target_duration": 5.0, "lang": "en",
      "audio_path": "/path/ref.wav", "prompt_transcript": "...",
      "repeat_prompt": 0, "concat": false}
+POST /synthesize_streaming   same body -> chunked audio/wav: a streaming
+    RIFF header (sizes 0xFFFFFFFF, the standard live-WAV convention)
+    followed by PCM16 pieces as decode segments finalize — time-to-first
+    audio is ~1 s of generation, not the whole utterance. Bypasses the
+    batch collector (single-row decode via pipeline.synthesize_streaming).
 GET  /healthz        JSON server stats
 
 Requests from concurrent clients batch on the decode axis via
@@ -31,6 +36,21 @@ from .server import BatchingServer
 log = logging.getLogger(__name__)
 
 
+def wav_stream_header(sample_rate: int) -> bytes:
+    """RIFF/WAVE header with unknown (0xFFFFFFFF) sizes for live streams."""
+    import struct
+
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
+def pcm16(wav: np.ndarray) -> bytes:
+    return (np.clip(np.asarray(wav, np.float32), -1, 1)
+            * 32767).astype("<i2").tobytes()
+
+
 def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
     pcm = (np.clip(np.asarray(wav, np.float32), -1, 1) * 32767).astype("<i2")
     buf = io.BytesIO()
@@ -44,6 +64,7 @@ def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "t5gemma-tts-tpu/1.0"
+    protocol_version = "HTTP/1.1"       # chunked transfer for /…_streaming
     backend: BatchingServer = None  # type: ignore[assignment]
     sample_rate: int = 44100
     request_timeout: float = 600.0
@@ -71,7 +92,7 @@ class _Handler(BaseHTTPRequestHandler):
         })
 
     def do_POST(self):
-        if self.path != "/synthesize":
+        if self.path not in ("/synthesize", "/synthesize_streaming"):
             return self._json(404, {"error": "not found"})
         try:
             n = int(self.headers.get("Content-Length", 0))
@@ -90,6 +111,8 @@ class _Handler(BaseHTTPRequestHandler):
             )
         except Exception as exc:
             return self._json(400, {"error": str(exc)})
+        if self.path == "/synthesize_streaming":
+            return self._stream(req)
         try:
             res = self.backend.synthesize(req, timeout=self.request_timeout)
         except Exception as exc:
@@ -108,6 +131,34 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("X-RTF", f"{res.rtf:.3f}")
         self.end_headers()
         self.wfile.write(body)
+
+
+    def _stream(self, req: Request) -> None:
+        """Chunked-transfer streaming synthesis (single-row decode)."""
+        try:
+            gen = self.backend.pipeline.synthesize_streaming(req)
+        except Exception as exc:
+            log.exception("streaming setup failed")
+            return self._json(500, {"error": str(exc)})
+
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def chunk(b: bytes) -> None:
+            self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+        try:
+            chunk(wav_stream_header(self.sample_rate))
+            for piece in gen:
+                body = pcm16(piece)
+                if body:
+                    chunk(body)
+        except Exception:
+            log.exception("streaming synthesis failed mid-stream")
+        finally:
+            self.wfile.write(b"0\r\n\r\n")  # chunked terminator
 
 
 def serve(backend: BatchingServer, host: str = "0.0.0.0", port: int = 8000,

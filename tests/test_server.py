@@ -139,10 +139,23 @@ def test_http_server_end_to_end():
         health = json.loads(conn.getresponse().read())
         assert health["ok"] and health["requests"] >= 1
 
-        # bad request: missing text
+        # bad request: missing text (read the body — HTTP/1.1 keep-alive)
         conn.request("POST", "/synthesize", "{}",
                      {"Content-Type": "application/json"})
-        assert conn.getresponse().status == 400
+        bad = conn.getresponse()
+        assert bad.status == 400
+        bad.read()
+
+        # streaming: chunked wav with a live RIFF header + PCM pieces
+        conn.request("POST", "/synthesize_streaming", json.dumps(
+            {"target_text": "streamed words", "target_duration": 0.4}
+        ), {"Content-Type": "application/json"})
+        sresp = conn.getresponse()
+        assert sresp.status == 200
+        assert sresp.getheader("Transfer-Encoding") == "chunked"
+        sbody = sresp.read()
+        assert sbody[:4] == b"RIFF" and sbody[8:12] == b"WAVE"
+        assert len(sbody) > 44 + 2 * 10  # header + some PCM samples
     finally:
         httpd.shutdown()
         backend.close()
