@@ -214,7 +214,15 @@ def _w8a8_2d(x: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
 
 
 def q_matmul(x: jnp.ndarray, w: Union[jnp.ndarray, QuantWeight]) -> jnp.ndarray:
-    """Drop-in for ``x @ w``; works for [..., K] activations."""
+    """Drop-in for ``x @ w``; works for [..., K] activations.
+
+    Also dispatches factored LoRA leaves (train/lora.py LoraWeight):
+    ``x @ W + ((x @ A) @ B) * scale`` — never materializing W + AB, so LoRA
+    backward touches only adapter-sized tensors."""
+    if hasattr(w, "a") and hasattr(w, "b") and hasattr(w, "w"):
+        base = q_matmul(x, w.w)
+        upd = (x @ w.a.astype(x.dtype)) @ w.b.astype(x.dtype)
+        return base + upd * jnp.asarray(w.scale, base.dtype)
     if not isinstance(w, QuantWeight):
         return x @ w
     *lead, k = x.shape

@@ -183,7 +183,10 @@ def make_lora_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig,
 
     def train_step(adapters, opt_state, base_params, batch, lr):
         def loss_fn(ads, mb):
-            eff = lora_mod.apply(base_params, ads, lcfg)
+            # factored wrap (x@W + (x@A)@B), NOT merged apply: merging
+            # materializes a full effective tree + a full-tree cotangent
+            # (measured 30 GB for a 2b-2b step — OOM on one chip)
+            eff = lora_mod.wrap(base_params, ads, lcfg)
             out = voice.forward(eff, cfg, mb)
             return out.loss / jnp.maximum(
                 out.effective_ntokens.astype(jnp.float32), 1.0

@@ -39,6 +39,41 @@ def test_zero_init_is_identity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_factored_wrap_matches_merged_apply():
+    """wrap (x@W + (x@A)@B, memory-lean) == apply (merged W+AB) on loss and
+    adapter gradients — the training step uses wrap."""
+    cfg, params = _params()
+    lcfg = lora.LoraConfig(r=4)
+    ads = lora.init_adapters(jax.random.PRNGKey(1), params, lcfg)
+    # non-trivial B so the update actually contributes
+    ads = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if hasattr(x, "ndim") else x, ads)
+
+    rng = np.random.default_rng(3)
+    b, tx, ty = 2, 6, 8
+    mb = {
+        "x": jnp.asarray(rng.integers(3, cfg.text_vocab_size, (b, tx)).astype(np.int32)),
+        "x_lens": jnp.asarray(np.full((b,), tx, np.int32)),
+        "y": jnp.asarray(rng.integers(0, cfg.audio_vocab_size, (b, ty)).astype(np.int32)),
+        "y_lens": jnp.asarray(np.full((b,), ty, np.int32)),
+        "y_sep_position": jnp.asarray(np.zeros((b,), np.int32)),
+    }
+
+    def loss_merged(a):
+        return voice.forward(lora.apply(params, a, lcfg), cfg, mb).loss
+
+    def loss_factored(a):
+        return voice.forward(lora.wrap(params, a, lcfg), cfg, mb).loss
+
+    lm, gm = jax.value_and_grad(loss_merged)(ads)
+    lf, gf = jax.value_and_grad(loss_factored)(ads)
+    np.testing.assert_allclose(float(lf), float(lm), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gm),
+                     jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_lora_step_trains_only_adapters():
     cfg, params = _params()
     lcfg = lora.LoraConfig(r=4)

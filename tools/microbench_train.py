@@ -87,9 +87,17 @@ def main():
                 return ad, opt
             return jax.lax.fori_loop(0, args.iters, body, (adapters, opt_state))
 
-        jax.block_until_ready(loop(adapters, opt_state, params, batch))
+        def run(*a):
+            out = loop(*a)
+            # axon quirk: block_until_ready alone does not block; force a
+            # host materialization of one leaf (see microbench_step.py)
+            jax.block_until_ready(out)
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:2]
+            return out
+
+        run(adapters, opt_state, params, batch)
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(adapters, opt_state, params, batch))
+        run(adapters, opt_state, params, batch)
         dt = (time.perf_counter() - t0) / args.iters
     else:
         state = ts.init_state(params, ocfg)
@@ -102,10 +110,15 @@ def main():
                 return st
             return jax.lax.fori_loop(0, args.iters, body, state)
 
-        jax.block_until_ready(loop(state, batch))
+        def run(*a):
+            out = loop(*a)
+            jax.block_until_ready(out)
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:2]
+            return out
+
+        run(state, batch)
         t0 = time.perf_counter()
-        out = loop(state, batch)
-        jax.block_until_ready(out)
+        run(state, batch)
         dt = (time.perf_counter() - t0) / args.iters
 
     print(f"preset={args.preset} lora={args.lora} optim={args.optim} "
