@@ -188,6 +188,9 @@ class VoiceConfig:
     extra_cutoff: float = 5.0
     # dtype of parameters/activations ("bfloat16" | "float32")
     dtype: str = "bfloat16"
+    # rematerialize layers in backward (reference --t5_gradient_checkpointing,
+    # config.py:84); training-path only, decode paths ignore it
+    gradient_checkpointing: bool = False
 
     def __post_init__(self):
         if self.n_codebooks != 1:

@@ -259,8 +259,14 @@ def encoder_forward(
     full_bias: jnp.ndarray,
     sliding_bias: jnp.ndarray,
     position_ids: jnp.ndarray,  # float32 [B, T] (PM or integer grid)
+    remat: bool = False,
 ) -> jnp.ndarray:
-    """Bidirectional encoder; returns last hidden state [B, T, D]."""
+    """Bidirectional encoder; returns last hidden state [B, T, D].
+
+    ``remat`` rematerializes each layer in the backward pass (the
+    reference's --t5_gradient_checkpointing, config.py:84): activations are
+    recomputed instead of stored, trading ~1/3 more FLOPs for O(1) layer
+    activation memory."""
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embed"], input_ids, axis=0)
     h = inputs_embeds * jnp.asarray(
@@ -281,6 +287,8 @@ def encoder_forward(
         h = r + rms_norm(mlp(lp["mlp"], hn), lp["post_ff_norm"], dims.rms_norm_eps)
         return h, None
 
+    if remat:
+        body = jax.checkpoint(body)
     h, _ = jax.lax.scan(body, h, (params["layers"], sliding_flags))
     return rms_norm(h, params["final_norm"], dims.rms_norm_eps)
 
@@ -347,9 +355,11 @@ def decoder_forward(
     cross_v: jnp.ndarray,
     cache: Optional[DecoderCache] = None,
     cache_pos: Optional[jnp.ndarray] = None,  # [B] write index (step mode)
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[DecoderCache]]:
     """Decoder stack. Without ``cache``: plain full-sequence training forward.
-    With ``cache``: prefill (cache_pos=None) or single-step (cache_pos=[B])."""
+    With ``cache``: prefill (cache_pos=None) or single-step (cache_pos=[B]).
+    ``remat`` (training path only) rematerializes layers in backward."""
     h = inputs_embeds * jnp.asarray(
         dims.hidden_size ** 0.5, dtype=inputs_embeds.dtype
     )
@@ -386,6 +396,8 @@ def decoder_forward(
             h = r + rms_norm(a, lp["post_self_attn_norm"], dims.rms_norm_eps)
             return layer_tail(h, lp, xk, xv), None
 
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(
             body, h, (params["layers"], sliding_flags, (cross_k, cross_v))
         )
@@ -841,9 +853,13 @@ def paged_decode_step(
             cq = rope_ops.apply_rope(cq, q_cos, q_sin)
         cqv = cq[:, :, 0].astype(jnp.float32) * dims.q_scale
         if fused_mode == 2:
+            # clamp: a zero-length segment A would skip the DMA wait the
+            # previous cell already prefetched (semaphore leak); a length-1
+            # read of the zero-initialized slot is harmless for the
+            # degenerate empty-text row (whose output is garbage either way)
             cattn = fused_attn.batch_paged_attention(
                 cqv, None, None, cross_kp, cross_vp, None, None,
-                enc_lengths, None,
+                jnp.maximum(enc_lengths, 1), None,
                 _layer_page_indices(li, b, tx), None,
                 cross_ksp, cross_vsp, None, None,
                 attn_logits_soft_cap=dims.attn_logit_softcap,

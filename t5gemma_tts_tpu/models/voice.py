@@ -98,6 +98,7 @@ def encode_text(
         full_bias=mask_ops.encoder_self_bias(x_lens, tx),
         sliding_bias=mask_ops.encoder_sliding_bias(x_lens, tx, dims.sliding_window),
         position_ids=enc_pos,
+        remat=cfg.gradient_checkpointing,
     )
     return memory, enc_pos
 
@@ -175,6 +176,7 @@ def forward(
         position_ids=dec_pos,
         pm_decoder_positions=pm_dec,
         cross_k=cross_k, cross_v=cross_v,
+        remat=cfg.gradient_checkpointing,
     )
     logits = predict_head(params["head"], hidden)  # [B, T+1, Va]
     return token_loss(cfg, logits, targets, new_y_lens,

@@ -60,6 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--progress_scale", type=float, default=2000.0)
     p.add_argument("--eog_weight", type=float, default=1.0)
     p.add_argument("--no_loss_on_prefix", type=int, default=0)
+    p.add_argument("--t5_gradient_checkpointing", type=int, default=0)
     p.add_argument("--x_sep_token", type=int, default=255999)
     p.add_argument("--text_tokenizer_name", default="google/t5gemma-2b-2b-ul2")
     # data (reference config.py:118-132, 177-184)
@@ -146,6 +147,7 @@ def main(argv: Optional[list] = None):
         no_loss_on_prefix=bool(args.no_loss_on_prefix),
         x_sep_token=args.x_sep_token,
         dtype=args.precision,
+        gradient_checkpointing=bool(args.t5_gradient_checkpointing),
     )
     ckpt.save_config(args.exp_dir, cfg)
 

@@ -39,6 +39,33 @@ def test_zero_init_is_identity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_gradient_checkpointing_same_grads():
+    """remat recomputes, never changes math: loss and grads equal."""
+    import dataclasses
+    from t5gemma_tts_tpu.models import voice as voice_mod
+
+    cfg, params = _params()
+    cfg_r = dataclasses.replace(cfg, gradient_checkpointing=True)
+    rng = np.random.default_rng(5)
+    b, tx, ty = 2, 6, 8
+    mb = {
+        "x": jnp.asarray(rng.integers(3, cfg.text_vocab_size, (b, tx)).astype(np.int32)),
+        "x_lens": jnp.asarray(np.full((b,), tx, np.int32)),
+        "y": jnp.asarray(rng.integers(0, cfg.audio_vocab_size, (b, ty)).astype(np.int32)),
+        "y_lens": jnp.asarray(np.full((b,), ty, np.int32)),
+        "y_sep_position": jnp.asarray(np.zeros((b,), np.int32)),
+    }
+    l0, g0 = jax.value_and_grad(
+        lambda p: voice_mod.forward(p, cfg, mb).loss)(params)
+    l1, g1 = jax.value_and_grad(
+        lambda p: voice_mod.forward(p, cfg_r, mb).loss)(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_factored_wrap_matches_merged_apply():
     """wrap (x@W + (x@A)@B, memory-lean) == apply (merged W+AB) on loss and
     adapter gradients — the training step uses wrap."""

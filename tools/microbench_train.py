@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--optim", default="ScaledAdam",
                     choices=["ScaledAdam", "AdamW"])
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--remat", action="store_true",
+                    help="gradient checkpointing (layer rematerialization)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +49,8 @@ def main():
     from t5gemma_tts_tpu.train import optim
     from t5gemma_tts_tpu.train import train_step as ts
 
-    cfg = VoiceConfig(backbone=backbone_preset(args.preset))
+    cfg = VoiceConfig(backbone=backbone_preset(args.preset),
+                      gradient_checkpointing=args.remat)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(lambda k: voice.init_params(k, cfg))(rng)
 
