@@ -31,6 +31,9 @@ log = logging.getLogger(__name__)
 _DROP_PREFIXES = (
     "lm_head.", "encoder_module.", "decoder_module.",
     "class_weight", "accuracy_metrics",
+    # pruned by the reference at prune_text_modules=2 (models/t5gemma.py:
+    # 293-317): the decoder's text embedding is replaced by audio embeddings
+    "decoder.embed_tokens.",
 )
 
 _NORM_MAP = {
@@ -86,18 +89,41 @@ def _merge_lora(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+class _Tracked(dict):
+    """Dict recording which keys were read (conversion exhaustiveness)."""
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        self.used.add(k)          # membership probe counts as consumption
+        return super().__contains__(k)
+
+
 def torch_state_dict_to_params(
-    sd: Mapping[str, np.ndarray], cfg: VoiceConfig, dtype=None
+    sd: Mapping[str, np.ndarray], cfg: VoiceConfig, dtype=None,
+    strict: bool = False,
 ) -> Dict[str, Any]:
-    """Build this framework's parameter pytree from a torch state dict."""
+    """Build this framework's parameter pytree from a torch state dict.
+
+    Every tensor must either be consumed or match a known-prunable pattern
+    (lm_head / tied text embeddings / rotary buffers — reference
+    models/t5gemma.py:293-317); leftovers are logged, or raised with
+    ``strict`` (the codec converter has the same contract)."""
     import jax.numpy as jnp
 
     dtype = jnp.dtype(dtype or cfg.dtype)
     sd = _merge_lora({k: np.asarray(v) for k, v in sd.items()})
 
-    enc_layers: Dict[int, Dict[str, np.ndarray]] = {}
-    dec_layers: Dict[int, Dict[str, np.ndarray]] = {}
-    flat: Dict[str, np.ndarray] = {}
+    enc_layers: Dict[int, _Tracked] = {}
+    dec_layers: Dict[int, _Tracked] = {}
+    flat = _Tracked()
+    locations: Dict[str, tuple] = {}
     for raw_key, val in sd.items():
         key = _strip_prefix(raw_key)
         if key is None:
@@ -106,9 +132,11 @@ def torch_state_dict_to_params(
         if m:
             side, idx, rest = m.group(1), int(m.group(2)), m.group(3)
             store = enc_layers if side == "encoder" else dec_layers
-            store.setdefault(idx, {})[rest] = val
+            store.setdefault(idx, _Tracked())[rest] = val
+            locations[raw_key] = (store[idx], rest)
         else:
             flat[key] = val
+            locations[raw_key] = (flat, key)
 
     def stack_layers(layers: Dict[int, Dict[str, np.ndarray]], n: int,
                      is_decoder: bool) -> Dict[str, Any]:
@@ -167,6 +195,16 @@ def torch_state_dict_to_params(
         }
     else:
         log.warning("state dict has no audio head; backbone-only conversion")
+
+    leftovers = sorted(
+        raw for raw, (cont, key) in locations.items() if key not in cont.used
+    )
+    if leftovers:
+        msg = (f"{len(leftovers)} state-dict tensors were not consumed by the "
+               f"conversion (first few: {leftovers[:8]})")
+        if strict:
+            raise ValueError(msg)
+        log.warning(msg)
     return params
 
 

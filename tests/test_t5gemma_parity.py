@@ -86,6 +86,26 @@ def jax_params(torch_model):
     return convert.torch_state_dict_to_params(sd, cfg, dtype=jnp.float32)
 
 
+def test_converter_key_exhaustive(torch_model):
+    """Every HF tensor is consumed or known-prunable; an unexpected key is
+    reported (and raises under strict)."""
+    from t5gemma_tts_tpu.config import VoiceConfig
+
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    cfg = VoiceConfig(
+        backbone=BackboneConfig(encoder=DIMS, decoder=DIMS),
+        audio_vocab_size=128, dtype="float32",
+    )
+    # clean dump converts strictly
+    convert.torch_state_dict_to_params(sd, cfg, dtype=jnp.float32, strict=True)
+    # a bogus tensor must be flagged
+    sd2 = dict(sd)
+    sd2["model.encoder.layers.0.mystery.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="not consumed"):
+        convert.torch_state_dict_to_params(sd2, cfg, dtype=jnp.float32,
+                                           strict=True)
+
+
 def _rand_batch(seed=0, b=2, t=10):
     rng = np.random.default_rng(seed)
     ids = rng.integers(3, DIMS.vocab_size, size=(b, t)).astype(np.int32)
