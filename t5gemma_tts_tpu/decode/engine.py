@@ -322,8 +322,6 @@ def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
     compute_dtype = jnp.dtype(cfg.dtype)
     max_steps = dcfg.max_frames
     sr = int(cfg.encodec_sr)
-    sr_fifth = sr // 5
-    vocab = cfg.audio_embedding_vocab
 
     prompt_offset = prompt_lens + 1                          # reference :921
     est_total = jnp.maximum(target_totals + 1, prompt_lens + 1)

@@ -9,11 +9,15 @@ the multi-token-prediction + speculative-verification recipe for codec TTS
 
 - **Exactness by construction.** The verifier samples every position with
   the engine's own ``sample_step_token``, whose rng is folded with the
-  ABSOLUTE step index. A token sampled at step s from the same logits is
+  ABSOLUTE step index. A token sampled at step s from THE SAME LOGITS is
   therefore bit-identical whether it was produced by the sequential loop or
   inside a verify pass — draft quality changes only SPEED, never the output
   distribution (tested: traces are array-equal to ``engine.decode_tokens``
-  for any draft, at any temperature).
+  for any draft, at any temperature, on shape-deterministic platforms/f32).
+  Caveat: on TPU bf16 the (k+1)-token matmuls can differ from the 1-token
+  pass in the last ulp; a near-tie crossing a top-k/argmax boundary then
+  yields a different — equally valid — sample (bench.py measures this as
+  trace agreement rather than asserting identity).
 - **Scalar advance.** All rows advance by the minimum accepted count across
   active rows, keeping the engine's scalar-step rng schedule; targets drawn
   beyond that are discarded and re-drawn identically next pass. Speculation

@@ -369,7 +369,14 @@ class T5GemmaVoiceForConditionalGeneration(PreTrainedModel):
         tokens = torch.cat([bos, y[:, 0]], dim=1)
         emb = self.audio_embedding[0](tokens)
         t = tokens.shape[1]
-        lens = torch.full((b,), t, device=device)
+        # per-row decoder lengths: y_lens + 1 (BOS shift), matching the JAX
+        # training model's prepare_decoder_io; padded rows otherwise get
+        # progress positions scaled by the buffer width instead of their
+        # own length (wrong rotary angles for any padded batch)
+        if y_lens is not None:
+            lens = y_lens.to(device=device, dtype=torch.long) + 1
+        else:
+            lens = torch.full((b,), t, device=device)
         if self.config.use_pm_rope:
             pos = self._pm_positions(lens, t, device)
         else:

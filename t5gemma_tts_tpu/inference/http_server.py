@@ -52,13 +52,12 @@ def pcm16(wav: np.ndarray) -> bytes:
 
 
 def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
-    pcm = (np.clip(np.asarray(wav, np.float32), -1, 1) * 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(pcm16(wav))
     return buf.getvalue()
 
 
@@ -155,10 +154,12 @@ class _Handler(BaseHTTPRequestHandler):
                 body = pcm16(piece)
                 if body:
                     chunk(body)
-        except Exception:
-            log.exception("streaming synthesis failed mid-stream")
-        finally:
             self.wfile.write(b"0\r\n\r\n")  # chunked terminator
+        except Exception:
+            # NO terminator on failure: aborting the connection is the only
+            # way a chunked client can distinguish truncation from success
+            log.exception("streaming synthesis failed mid-stream")
+            self.close_connection = True
 
 
 def serve(backend: BatchingServer, host: str = "0.0.0.0", port: int = 8000,

@@ -172,12 +172,17 @@ class TTSPipeline:
         return PlannedRequest(text=text, prompt=prompt,
                               target=len(prompt) + int(sr * target_secs))
 
+    def _need_frames(self, target: int, prompt_len: int) -> int:
+        """Generation-buffer demand of one request (single source of truth
+        for both per-request bucketing and the batch max_frames)."""
+        sr = int(self.cfg.encodec_sr)
+        return target - prompt_len + int(sr * self.cfg.extra_cutoff) + 8
+
     def frame_bucket(self, planned: PlannedRequest) -> int:
         """The generation-buffer bucket this request alone would use — the
         decode loop's trip count, hence its cost driver."""
-        need = (planned.target - len(planned.prompt)
-                + int(self.cfg.encodec_sr * self.cfg.extra_cutoff) + 8)
-        return _bucket(need, FRAME_BUCKETS)
+        return _bucket(self._need_frames(planned.target, len(planned.prompt)),
+                       FRAME_BUCKETS)
 
     def synthesize_batch(
         self,
@@ -213,8 +218,7 @@ class TTSPipeline:
         tx = _bucket(max(len(t) for t in texts), TEXT_BUCKETS)
         p_max = _bucket(max((len(p) for p in prompts), default=1), PROMPT_BUCKETS)
         need_frames = max(
-            tt - len(p) + int(sr * cfg.extra_cutoff) + 8
-            for tt, p in zip(targets, prompts)
+            self._need_frames(tt, len(p)) for tt, p in zip(targets, prompts)
         )
         max_frames = _bucket(need_frames, FRAME_BUCKETS)
 

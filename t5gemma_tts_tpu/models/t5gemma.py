@@ -737,6 +737,12 @@ def paged_decode_step(
     if cache.gen_k.dtype == jnp.int8:
         # int8 pages dequantize inside the batch kernel only; off-TPU the
         # kernel runs in interpreter mode (tiny test configs)
+        if (jax.default_backend() == "tpu"
+                and (dims.head_dim % 128 != 0 or dims.num_heads % 8 != 0)):
+            raise ValueError(
+                "kv_cache='paged_i8' needs head_dim % 128 == 0 and "
+                f"num_heads % 8 == 0 on TPU (got hd={dims.head_dim}, "
+                f"H={dims.num_heads}); use 'paged' or 'dense'")
         fused_mode = 2
         interp = jax.default_backend() != "tpu"
     b = inputs_embeds.shape[0]

@@ -375,9 +375,18 @@ def batch_paged_attention(
     ``include_current`` segment A must be non-empty for every row.
     With ``a_k_scales`` the pages are int8 and each token dequantizes as
     ``int8 * scale`` inside the kernel (per-token, per-kv-head scales) —
-    half the cache DMA bytes of bf16 with native converts."""
+    half the cache DMA bytes of bf16 with native converts.
+
+    A row with ALL segments empty would break the cross-cell DMA pipeline
+    (its prefetched block is never waited, desynchronizing the semaphore
+    parity for every later cell), so segment A is clamped to >= 1: a
+    degenerate row reads one zero-initialized page (its output is garbage
+    either way — in-repo callers always have BOS-prefixed prompts or
+    clamped encoder lengths), and the pipeline invariant holds for any
+    input."""
     b, h, hd = q.shape
     hkv, _, ps, _ = a_k_pages.shape
+    a_lengths = jnp.maximum(a_lengths.astype(jnp.int32), 1)
     quantized = a_k_scales is not None
     if b_k_pages is None:
         b_k_pages = a_k_pages[:, :1]

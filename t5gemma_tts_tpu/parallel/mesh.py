@@ -143,10 +143,25 @@ def shard_batch(batch: PyTree, mesh: Mesh, axis: int = 0,
         x = np.asarray(x)
         gshape = x.shape
         idx_map = sharding.addressable_devices_indices_map(gshape)
-        starts = [sl[dim].start or 0 for sl in idx_map.values()]
-        stops = [gshape[dim] if sl[dim].stop is None else sl[dim].stop
-                 for sl in idx_map.values()]
+        spans = sorted({
+            (sl[dim].start or 0,
+             gshape[dim] if sl[dim].stop is None else sl[dim].stop)
+            for sl in idx_map.values()
+        })  # deduped: tensor-parallel siblings share the same data rows
+        starts = [s for s, _ in spans]
+        stops = [e for _, e in spans]
         lo, hi = min(starts), max(stops)
+        # the [lo, hi) span must be exactly this process's rows: a mesh
+        # whose data axis interleaves devices across processes would make
+        # the span cover rows owned elsewhere and silently misassign them
+        owned = sum(e - s for s, e in spans)
+        if hi - lo != owned:
+            raise ValueError(
+                "shard_batch needs each process's batch rows to be "
+                f"contiguous along the data axis; got slices {sorted(starts)}"
+                f"->{sorted(stops)} spanning {hi - lo} rows but owning "
+                f"{owned}. Build the mesh with process-contiguous device "
+                "order (parallel.make_mesh does).")
         local = x[(slice(None),) * dim + (slice(lo, hi),)]
         return jax.make_array_from_process_local_data(sharding, local, gshape)
 

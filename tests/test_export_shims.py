@@ -113,3 +113,60 @@ def test_shim_forward_matches_jax_loss_logits(export_dir):
         cross_k=cross_k, cross_v=cross_v)
     logits_j = np.asarray(voice.predict_head(params["head"], hidden))
     np.testing.assert_allclose(logits_t, logits_j, rtol=2e-4, atol=2e-4)
+
+
+def test_shim_forward_padded_batch_matches_jax(export_dir):
+    """Padded rows: the shim must scale PM progress positions by each row's
+    own y_lens + 1, not the buffer width (code-review finding)."""
+    torch = pytest.importorskip("torch")
+    out, params, cfg = export_dir
+    from transformers import AutoModelForSeq2SeqLM
+
+    model = AutoModelForSeq2SeqLM.from_pretrained(
+        out, trust_remote_code=True, dtype=torch.float32)
+    model.eval()
+
+    rng = np.random.default_rng(2)
+    b, tx, ty = 2, 8, 6
+    x = rng.integers(3, cfg.text_vocab_size, (b, tx)).astype(np.int64)
+    x_lens = np.asarray([8, 5], np.int64)
+    y = rng.integers(0, cfg.audio_vocab_size, (b, 1, ty)).astype(np.int64)
+    y_lens = np.asarray([6, 3], np.int64)
+    with torch.no_grad():
+        logits_t = model.forward(
+            torch.tensor(x), torch.tensor(x_lens), torch.tensor(y),
+            y_lens=torch.tensor(y_lens)).numpy()
+
+    # JAX teacher-forced pass with per-row lengths (what voice.forward does)
+    from t5gemma_tts_tpu.models import t5gemma as tg
+    from t5gemma_tts_tpu.ops import masks as mask_ops
+    from t5gemma_tts_tpu.ops import rope as rope_ops
+
+    s = cfg.special
+    xl = jnp.asarray(x_lens, jnp.int32)
+    memory, enc_pos = voice.encode_text(params, cfg,
+                                        jnp.asarray(x, jnp.int32), xl)
+    tokens = np.concatenate([np.full((b, 1), s.empty, np.int64), y[:, 0]],
+                            axis=1)
+    t = tokens.shape[1]
+    lens = jnp.asarray(y_lens + 1, jnp.int32)
+    pos = rope_ops.progress_position_ids(lens, t, cfg.progress_scale)
+    emb = voice.embed_audio(params, jnp.asarray(tokens, jnp.int32))
+    cross_k, cross_v = tg.build_cross_kv(
+        params["decoder"], cfg.backbone.decoder, memory, enc_pos)
+    hidden, _ = tg.decoder_forward(
+        params["decoder"], cfg.backbone.decoder,
+        inputs_embeds=emb,
+        self_full_bias=mask_ops.decoder_self_bias(lens, t),
+        self_sliding_bias=mask_ops.decoder_sliding_bias(
+            lens, t, cfg.backbone.decoder.sliding_window),
+        cross_bias=mask_ops.cross_bias(xl, t, tx),
+        position_ids=pos,
+        pm_decoder_positions=pos,
+        cross_k=cross_k, cross_v=cross_v)
+    logits_j = np.asarray(voice.predict_head(params["head"], hidden))
+    # valid decoder positions per row: < y_lens + 1
+    for i in range(b):
+        n = int(y_lens[i]) + 1
+        np.testing.assert_allclose(logits_t[i, :n], logits_j[i, :n],
+                                   rtol=5e-4, atol=5e-4, err_msg=f"row {i}")
