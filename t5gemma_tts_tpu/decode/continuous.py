@@ -1,0 +1,297 @@
+"""Continuous batching: requests join a resident decode batch mid-flight.
+
+The batching server (inference/server.py) groups requests per collection
+window — a request arriving 10 ms after a batch launched waits for the
+whole batch. Here a FIXED batch of B slots decodes continuously in bounded
+segments; between segments finished rows are harvested and new requests
+prefill into free slots, so the batch axis stays full under streaming
+load. The reference has nothing comparable (batch-1 Gradio); this is the
+vLLM-style serving shape, built TPU-natively:
+
+- **Per-row step clocks.** The synchronized engine's scalar ``step``
+  becomes a per-row vector; stop budgets, token writes, and PM positions
+  all run off each row's own clock.
+- **Per-slot RNG.** Each slot carries its own PRNG key, folded with the
+  row's ABSOLUTE step (vmapped over rows), so a request's token stream is
+  bit-identical no matter when it joined or what shares the batch —
+  batch-position independence is pinned by tests.
+- **Dense KV cache.** Rows write at their own ``current_length``
+  (per-row dynamic slices) — the step-indexed paged layout assumes a
+  batch-synchronized clock, so continuous mode uses the dense cache.
+- **Admission = batch-1 prefill + row scatter.** engine.prefill runs on
+  the new request alone (same text/prompt/frame buckets as the resident
+  state) and its row is scattered into the slot: one compiled admit
+  program per bucket config.
+
+All shapes are fixed at construction (text/prompt/frame buckets), so the
+segment, admit, and harvest programs compile once each.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DecodeConfig, VoiceConfig
+from ..models import t5gemma, voice
+from ..ops import masks as mask_ops
+from ..ops import rope as rope_ops
+from . import engine
+
+PyTree = Any
+
+
+class SlotState(NamedTuple):
+    """Resident decode batch (dense KV cache), B slots."""
+
+    cache: t5gemma.DecoderCache
+    last_hidden: jnp.ndarray        # [B, 1, D]
+    tokens: jnp.ndarray             # [B, max_frames]
+    steps: jnp.ndarray              # [B] per-row generated count
+    current_length: jnp.ndarray     # [B] absolute length incl. BOS
+    prev_token: jnp.ndarray         # [B]
+    consec_silence: jnp.ndarray     # [B]
+    active: jnp.ndarray             # [B] bool — slot holds a live request
+    done: jnp.ndarray               # [B] bool — row finished (awaiting harvest)
+    gen_lens: jnp.ndarray           # [B]
+    rngs: jnp.ndarray               # [B, 2] uint32 per-slot PRNG keys
+    x_lens: jnp.ndarray             # [B] per-row encoder lengths
+    prompt_lens: jnp.ndarray        # [B] (excl. BOS)
+    target_totals: jnp.ndarray      # [B]
+
+
+def _raw_key(rng: jax.Array) -> jnp.ndarray:
+    """Normalize a PRNG key to its raw [2] uint32 data (slot storage)."""
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        rng = jax.random.key_data(rng)
+    return jnp.asarray(rng, jnp.uint32)
+
+
+def init_slots(cfg: VoiceConfig, dcfg: DecodeConfig, batch: int,
+               text_len: int, prompt_len: int) -> SlotState:
+    """Empty resident state for the given bucket shapes."""
+    dims = cfg.backbone.decoder
+    t_max = prompt_len + 1 + dcfg.max_frames
+    compute_dtype = jnp.dtype(cfg.dtype)
+    return SlotState(
+        cache=t5gemma.init_cache(dims, batch, t_max, text_len,
+                                 dtype=compute_dtype),
+        last_hidden=jnp.zeros((batch, 1, dims.hidden_size), compute_dtype),
+        tokens=jnp.full((batch, dcfg.max_frames), cfg.special.pad, jnp.int32),
+        steps=jnp.zeros((batch,), jnp.int32),
+        current_length=jnp.ones((batch,), jnp.int32),
+        prev_token=jnp.full((batch,), -1, jnp.int32),
+        consec_silence=jnp.zeros((batch,), jnp.int32),
+        active=jnp.zeros((batch,), bool),
+        done=jnp.zeros((batch,), bool),
+        gen_lens=jnp.zeros((batch,), jnp.int32),
+        rngs=jnp.zeros((batch, 2), jnp.uint32),
+        x_lens=jnp.ones((batch,), jnp.int32),
+        prompt_lens=jnp.zeros((batch,), jnp.int32),
+        target_totals=jnp.ones((batch,), jnp.int32),
+    )
+
+
+def admit(
+    params: PyTree,
+    cfg: VoiceConfig,
+    dcfg: DecodeConfig,
+    state: SlotState,
+    slot: jnp.ndarray,              # scalar int32
+    x: jnp.ndarray,                 # [tx] text ids (padded to the bucket)
+    x_len: jnp.ndarray,             # scalar
+    prompt: jnp.ndarray,            # [p_max]
+    prompt_len: jnp.ndarray,        # scalar
+    target_total: jnp.ndarray,      # scalar
+    rng: jax.Array,                 # this request's own key
+) -> SlotState:
+    """Prefill ONE request and install it into ``slot``."""
+    dcfg = dataclasses.replace(dcfg, kv_cache="dense")
+    st1 = engine.prefill(params, cfg, dcfg, x[None], x_len[None],
+                         prompt[None], prompt_len[None], target_total[None])
+
+    def put_row(buf, row, axis):
+        # row has a leading length-1 batch dim at ``axis``
+        start = [0] * buf.ndim
+        start[axis] = slot
+        return jax.lax.dynamic_update_slice(buf, row.astype(buf.dtype),
+                                            tuple(start))
+
+    cache = t5gemma.DecoderCache(
+        self_k=put_row(state.cache.self_k, st1.cache.self_k, 1),
+        self_v=put_row(state.cache.self_v, st1.cache.self_v, 1),
+        cross_k=put_row(state.cache.cross_k, st1.cache.cross_k, 1),
+        cross_v=put_row(state.cache.cross_v, st1.cache.cross_v, 1),
+    )
+
+    def set1(vec, val, dtype=None):
+        return vec.at[slot].set(val.astype(dtype or vec.dtype))
+
+    return SlotState(
+        cache=cache,
+        last_hidden=put_row(state.last_hidden, st1.last_hidden, 0),
+        tokens=put_row(state.tokens, st1.tokens, 0),
+        steps=state.steps.at[slot].set(0),
+        current_length=set1(state.current_length, st1.current_length[0]),
+        prev_token=state.prev_token.at[slot].set(-1),
+        consec_silence=state.consec_silence.at[slot].set(0),
+        active=state.active.at[slot].set(True),
+        done=state.done.at[slot].set(False),
+        gen_lens=state.gen_lens.at[slot].set(0),
+        rngs=put_row(state.rngs, _raw_key(rng)[None], 0),
+        x_lens=set1(state.x_lens, x_len),
+        prompt_lens=set1(state.prompt_lens, prompt_len),
+        target_totals=set1(state.target_totals, target_total),
+    )
+
+
+def _sample_rows(cfg: VoiceConfig, dcfg: DecodeConfig, logits, steps,
+                 prev_token, consec_silence, rngs):
+    """Per-row guarded sampling: each row folds ITS OWN key with ITS OWN
+    step, so a slot's stream is independent of everything else."""
+
+    def one(lg, st, pv, cs, key):
+        tok, am = engine.sample_step_token(
+            cfg, dcfg, lg[None], st, pv[None], cs[None], key)
+        return tok[0], am[0]
+
+    return jax.vmap(one)(logits, steps, prev_token, consec_silence, rngs)
+
+
+class SegmentFns(NamedTuple):
+    admit: Any      # (state, slot, x, x_len, prompt, prompt_len, tgt, rng)
+    segment: Any    # (state, n_steps scalar) -> state
+
+
+def make_fns(cfg: VoiceConfig, dcfg: DecodeConfig) -> SegmentFns:
+    """Jitted admit + segment programs (compiled per bucket config)."""
+    dcfg = dataclasses.replace(dcfg, kv_cache="dense")
+    s = cfg.special
+    eog = cfg.eog_inference
+    dims = cfg.backbone.decoder
+    compute_dtype = jnp.dtype(cfg.dtype)
+    max_steps = dcfg.max_frames
+    sr = int(cfg.encodec_sr)
+
+    def body(params, st: SlotState) -> SlotState:
+        b = st.tokens.shape[0]
+        est_total = jnp.maximum(st.target_totals + 1, st.prompt_lens + 1)
+        time_budget = (st.target_totals - (st.prompt_lens + 1)
+                       + jnp.int32(sr * cfg.extra_cutoff))
+        if cfg.text_guard_frames_per_token > 0:
+            text_budget = (jnp.maximum(1, st.x_lens)
+                           * cfg.text_guard_frames_per_token)
+        else:
+            text_budget = jnp.full_like(st.x_lens,
+                                        jnp.iinfo(jnp.int32).max // 2)
+
+        logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
+        token, argmax_tok = _sample_rows(
+            cfg, dcfg, logits, st.steps, st.prev_token, st.consec_silence,
+            st.rngs)
+
+        force = (token == eog) | (argmax_tok == eog)
+        force = force | (st.steps > text_budget) | (st.steps > time_budget)
+        force = force | (st.steps >= max_steps - 1)
+        token = jnp.where(force, eog, token)
+
+        live = st.active & ~st.done
+        write_tok = jnp.where(live, token, s.pad)
+        tokens = st.tokens.at[jnp.arange(b), st.steps].set(
+            jnp.where(live, write_tok, st.tokens[jnp.arange(b), st.steps]))
+        now_done = st.done | (live & (token == eog))
+        gen_lens = jnp.where(live & (token == eog), st.steps + 1, st.gen_lens)
+
+        if dcfg.silence_tokens:
+            silence = jnp.asarray(dcfg.silence_tokens, jnp.int32)
+            is_sil = jnp.any(token[:, None] == silence[None, :], axis=1)
+            consec = jnp.where(is_sil & (token == st.prev_token),
+                               st.consec_silence + 1, 0)
+        else:
+            consec = jnp.zeros_like(st.consec_silence)
+
+        emb = voice.embed_audio(params, token[:, None]).astype(compute_dtype)
+        if cfg.use_pm_rope:
+            pos = rope_ops.decode_step_position(
+                st.current_length, est_total, cfg.progress_scale)[:, None]
+        else:
+            pos = st.current_length.astype(jnp.float32)[:, None]
+        t_max = st.cache.self_k.shape[3]
+        t_enc = st.cache.cross_k.shape[3]
+        step_full = mask_ops.step_self_bias(st.current_length, t_max,
+                                            window=None)
+        step_slid = mask_ops.step_self_bias(
+            st.current_length, t_max, window=dims.sliding_window)
+        hidden, cache = t5gemma.decoder_forward(
+            params["decoder"], dims,
+            inputs_embeds=emb,
+            self_full_bias=step_full,
+            self_sliding_bias=step_slid,
+            cross_bias=mask_ops.cross_bias(st.x_lens, 1, t_enc),
+            position_ids=pos,
+            pm_decoder_positions=pos if cfg.use_pm_rope else None,
+            cross_k=st.cache.cross_k, cross_v=st.cache.cross_v,
+            cache=st.cache,
+            cache_pos=st.current_length,
+        )
+        return st._replace(
+            cache=cache,
+            last_hidden=hidden,
+            tokens=tokens,
+            steps=jnp.where(live, st.steps + 1, st.steps),
+            current_length=jnp.where(live & ~now_done,
+                                     st.current_length + 1,
+                                     st.current_length),
+            prev_token=jnp.where(live, token, st.prev_token),
+            consec_silence=jnp.where(live, consec, st.consec_silence),
+            done=now_done,
+            gen_lens=gen_lens,
+        )
+
+    def segment(params, state: SlotState, n_steps: jnp.ndarray) -> SlotState:
+        def cond(carry):
+            k, st = carry
+            return (k < n_steps) & jnp.any(st.active & ~st.done)
+
+        def step(carry):
+            k, st = carry
+            return k + 1, body(params, st)
+
+        _, out = jax.lax.while_loop(cond, step, (jnp.int32(0), state))
+        return out
+
+    admit_fn = functools.partial(admit, cfg=cfg, dcfg=dcfg)
+
+    return SegmentFns(
+        admit=jax.jit(
+            lambda params, state, slot, x, x_len, prompt, prompt_len,
+            tgt, rng: admit_fn(
+                params, state=state, slot=slot, x=x, x_len=x_len,
+                prompt=prompt, prompt_len=prompt_len, target_total=tgt,
+                rng=rng),
+            donate_argnums=(1,),
+        ),
+        segment=jax.jit(segment, donate_argnums=(1,)),
+    )
+
+
+def harvest(state: SlotState) -> Tuple[SlotState, List[Tuple[int, Any]]]:
+    """Host-side: collect finished rows -> [(slot, tokens np)], free slots."""
+    import numpy as np
+
+    active = np.asarray(state.active)
+    done = np.asarray(state.done)
+    ready = np.nonzero(active & done)[0]
+    out = []
+    if len(ready):
+        toks = np.asarray(state.tokens[ready])
+        lens = np.asarray(state.gen_lens[ready])
+        for row, t, n in zip(ready, toks, lens):
+            out.append((int(row), t[: int(n)]))
+        state = state._replace(
+            active=state.active.at[jnp.asarray(ready)].set(False))
+    return state, out

@@ -34,6 +34,178 @@ from .pipeline import Request, SynthesisResult, TTSPipeline
 log = logging.getLogger(__name__)
 
 
+class ContinuousServer:
+    """vLLM-style continuous batching over a resident decode batch.
+
+    A fixed batch of ``slots`` decodes in bounded segments
+    (decode/continuous.py); between segments, finished requests are
+    harvested and queued requests prefill into the freed slots — no
+    collection windows, the batch axis stays full under streaming load.
+    Each request keeps its own PRNG clock, so its audio is bit-identical
+    to what it would get alone (pinned by tests/test_continuous.py).
+
+    Fixed shape contract: text/prompt/generation buckets are set at
+    construction; a request that does not fit gets its future failed (route
+    oversized traffic to a BatchingServer or a second instance)."""
+
+    def __init__(
+        self,
+        pipeline: TTSPipeline,
+        dcfg: Optional[DecodeConfig] = None,
+        slots: int = 8,
+        text_bucket: int = 64,
+        prompt_bucket: int = 64,
+        segment_frames: int = 50,
+        decode_audio: bool = True,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..decode import continuous
+
+        self.pipeline = pipeline
+        self.dcfg = dcfg or DecodeConfig()
+        self.slots = slots
+        self.text_bucket = text_bucket
+        self.prompt_bucket = prompt_bucket
+        self.segment_frames = segment_frames
+        self.decode_audio = decode_audio
+        self.stats = ServerStats()
+        self._jnp, self._jax = jnp, jax
+        self._fns = continuous.make_fns(pipeline.cfg, self.dcfg)
+        self._continuous = continuous
+        self._state = continuous.init_slots(
+            pipeline.cfg, self.dcfg, slots, text_bucket, prompt_bucket)
+        self._slot_futures: list = [None] * slots
+        self._base_rng = jax.random.PRNGKey(self.dcfg.seed)
+        self._admitted = 0
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, request: Request) -> "Future[SynthesisResult]":
+        fut: "Future[SynthesisResult]" = Future()
+        self._q.put((request, fut))
+        return fut
+
+    def synthesize(self, request: Request,
+                   timeout: Optional[float] = None) -> SynthesisResult:
+        return self.submit(request).result(timeout)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _try_admit(self, req: Request, fut) -> bool:
+        import numpy as np
+
+        jnp = self._jnp
+        free = [i for i, f in enumerate(self._slot_futures) if f is None]
+        if not free:
+            return False
+        try:
+            planned = self.pipeline.plan_request(req)
+            need = self.pipeline._need_frames(planned.target,
+                                              len(planned.prompt))
+            if (len(planned.text) > self.text_bucket
+                    or len(planned.prompt) > self.prompt_bucket
+                    or need > self.dcfg.max_frames):
+                raise ValueError(
+                    f"request exceeds resident buckets (text "
+                    f"{len(planned.text)}/{self.text_bucket}, prompt "
+                    f"{len(planned.prompt)}/{self.prompt_bucket}, frames "
+                    f"{need}/{self.dcfg.max_frames})")
+        except Exception as exc:
+            fut.set_exception(exc)
+            return True
+        slot = free[0]
+        s = self.pipeline.cfg.special
+        x = np.zeros((self.text_bucket,), np.int32)
+        x[: len(planned.text)] = planned.text
+        p = np.full((self.prompt_bucket,), s.pad, np.int32)
+        p[: len(planned.prompt)] = planned.prompt
+        rng = self._jax.random.fold_in(self._base_rng, self._admitted)
+        self._admitted += 1
+        self._state = self._fns.admit(
+            self.pipeline.params, self._state, jnp.int32(slot),
+            jnp.asarray(x), jnp.int32(len(planned.text)),
+            jnp.asarray(p), jnp.int32(len(planned.prompt)),
+            jnp.int32(planned.target), rng)
+        self._slot_futures[slot] = (fut, planned)
+        self.stats.requests += 1
+        return True
+
+    def _finish(self, slot: int, gen_tokens) -> None:
+        import numpy as np
+
+        fut, planned = self._slot_futures[slot]
+        self._slot_futures[slot] = None
+        cfg = self.pipeline.cfg
+        strip = {cfg.special.y_sep, cfg.eog_inference}
+        gen = np.asarray(gen_tokens)
+        gen = gen[~np.isin(gen, list(strip))]
+        concat = np.concatenate([
+            np.asarray([t for t in planned.prompt if t not in strip],
+                       np.int64),
+            gen,
+        ])
+        wav = concat_wav = None
+        if (self.decode_audio and self.pipeline.audio_tokenizer is not None
+                and len(gen)):
+            wav = self.pipeline.audio_tokenizer.decode(
+                gen[None, None, :])[0, 0]
+            if len(concat) > len(gen):
+                concat_wav = self.pipeline.audio_tokenizer.decode(
+                    concat[None, None, :])[0, 0]
+        fut.set_result(SynthesisResult(
+            wav=wav, concat_wav=concat_wav if concat_wav is not None else wav,
+            gen_frames=gen, concat_frames=concat,
+            tokens_per_sec=0.0, rtf=0.0, inference_time=0.0,
+        ))
+
+    def _loop(self) -> None:
+        jnp = self._jnp
+        pending: list = []   # loop-local overflow (FIFO ahead of the queue)
+        while not self._stop.is_set():
+            # drain new arrivals, then admit FIFO while slots are free
+            try:
+                while True:
+                    pending.append(self._q.get_nowait())
+            except queue.Empty:
+                pass
+            while pending and self._try_admit(*pending[0]):
+                pending.pop(0)
+
+            if not any(f is not None for f in self._slot_futures):
+                try:
+                    pending.append(self._q.get(timeout=0.1))
+                except queue.Empty:
+                    continue
+                if self._try_admit(*pending[0]):
+                    pending.pop(0)
+                if not any(f is not None for f in self._slot_futures):
+                    continue
+
+            self._state = self._fns.segment(
+                self.pipeline.params, self._state,
+                jnp.int32(self.segment_frames))
+            self._state, outs = self._continuous.harvest(self._state)
+            if outs:
+                self.stats.batches += 1
+                self.stats.batch_sizes.append(len(outs))
+            for slot, toks in outs:
+                try:
+                    self._finish(slot, toks)
+                except Exception as exc:
+                    fut_entry = self._slot_futures[slot]
+                    if fut_entry is not None:
+                        fut_entry[0].set_exception(exc)
+                        self._slot_futures[slot] = None
+
+
 @dataclass
 class ServerStats:
     requests: int = 0
