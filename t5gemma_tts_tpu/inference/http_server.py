@@ -194,6 +194,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=32)
     ap.add_argument("--max_wait_ms", type=float, default=50.0)
+    ap.add_argument("--continuous", action="store_true",
+                    help="resident-batch continuous batching instead of "
+                         "windowed collection (see inference/server.py)")
+    ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--random_codec", action="store_true",
                     help="random codec weights (testing only)")
     ap.add_argument("--no_warmup", action="store_true")
@@ -201,9 +205,14 @@ def main(argv=None):
 
     pipe = _load_resources(args.model_dir, args.codec_dir,
                            args.random_codec)
-    backend = BatchingServer(pipe, max_batch=args.max_batch,
-                             max_wait_ms=args.max_wait_ms,
-                             warmup=not args.no_warmup)
+    if args.continuous:
+        from .server import ContinuousServer
+
+        backend = ContinuousServer(pipe, slots=args.slots)
+    else:
+        backend = BatchingServer(pipe, max_batch=args.max_batch,
+                                 max_wait_ms=args.max_wait_ms,
+                                 warmup=not args.no_warmup)
     sr = (pipe.audio_tokenizer.sample_rate
           if pipe.audio_tokenizer is not None else 44100)
     serve(backend, args.host, args.port, sample_rate=sr)
