@@ -143,28 +143,35 @@ class ContinuousServer:
 
         fut, planned = self._slot_futures[slot]
         self._slot_futures[slot] = None
-        cfg = self.pipeline.cfg
-        strip = {cfg.special.y_sep, cfg.eog_inference}
-        gen = np.asarray(gen_tokens)
-        gen = gen[~np.isin(gen, list(strip))]
-        concat = np.concatenate([
-            np.asarray([t for t in planned.prompt if t not in strip],
-                       np.int64),
-            gen,
-        ])
-        wav = concat_wav = None
-        if (self.decode_audio and self.pipeline.audio_tokenizer is not None
-                and len(gen)):
-            wav = self.pipeline.audio_tokenizer.decode(
-                gen[None, None, :])[0, 0]
-            if len(concat) > len(gen):
-                concat_wav = self.pipeline.audio_tokenizer.decode(
-                    concat[None, None, :])[0, 0]
-        fut.set_result(SynthesisResult(
-            wav=wav, concat_wav=concat_wav if concat_wav is not None else wav,
-            gen_frames=gen, concat_frames=concat,
-            tokens_per_sec=0.0, rtf=0.0, inference_time=0.0,
-        ))
+        try:
+            cfg = self.pipeline.cfg
+            strip = {cfg.special.y_sep, cfg.eog_inference}
+            gen = np.asarray(gen_tokens)
+            gen = gen[~np.isin(gen, list(strip))]
+            concat = np.concatenate([
+                np.asarray([t for t in planned.prompt if t not in strip],
+                           np.int64),
+                gen,
+            ])
+            wav = concat_wav = None
+            if (self.decode_audio
+                    and self.pipeline.audio_tokenizer is not None
+                    and len(gen)):
+                wav = self.pipeline.audio_tokenizer.decode(
+                    gen[None, None, :])[0, 0]
+                if len(concat) > len(gen):
+                    concat_wav = self.pipeline.audio_tokenizer.decode(
+                        concat[None, None, :])[0, 0]
+            fut.set_result(SynthesisResult(
+                wav=wav,
+                concat_wav=concat_wav if concat_wav is not None else wav,
+                gen_frames=gen, concat_frames=concat,
+                tokens_per_sec=0.0, rtf=0.0, inference_time=0.0,
+            ))
+        except Exception as exc:  # the future is already popped: resolve it
+            log.exception("finishing slot %d failed", slot)
+            if not fut.done():
+                fut.set_exception(exc)
 
     def _loop(self) -> None:
         jnp = self._jnp
@@ -197,13 +204,7 @@ class ContinuousServer:
                 self.stats.batches += 1
                 self.stats.batch_sizes.append(len(outs))
             for slot, toks in outs:
-                try:
-                    self._finish(slot, toks)
-                except Exception as exc:
-                    fut_entry = self._slot_futures[slot]
-                    if fut_entry is not None:
-                        fut_entry[0].set_exception(exc)
-                        self._slot_futures[slot] = None
+                self._finish(slot, toks)
 
 
 @dataclass
