@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from . import model as model_mod
+from .audio_tokenizer import _bucket
 from .model import XCodec2Config
 
 
@@ -48,18 +49,28 @@ class StreamingVocoder:
         self.cfg = cfg
         self.chunk = chunk
         self.context = context if context is not None else context_frames(cfg)
-        self._decode = jax.jit(lambda p, c: model_mod.decode_code(p, cfg, c))
+        self._decode = jax.jit(
+            lambda p, c, l: model_mod.decode_code(p, cfg, c, lengths=l))
         self._tokens = np.zeros((0,), np.int64)
         self._emitted_frames = 0  # frames whose audio has been emitted
 
     def _window_decode(self, start: int, end: int) -> np.ndarray:
-        """Exact audio for frames [start, end) using surrounding context."""
+        """Exact audio for frames [start, end) using surrounding context.
+
+        Windows are padded to shared length buckets + masked-exact decode
+        (vocos lengths), so the vocoder compiles once per bucket instead of
+        once per distinct window length — the variable-length flush() tail
+        previously recompiled the full vocoder for every utterance."""
+        import jax.numpy as jnp
+
         hop = self.cfg.hop_length
         lo = max(0, start - self.context)
         hi = min(len(self._tokens), end + self.context)
-        wav = np.asarray(
-            self._decode(self.params, self._tokens[None, lo:hi])
-        )[0]
+        win = self._tokens[lo:hi]
+        n = len(win)
+        padded = np.pad(win, (0, _bucket(n) - n))
+        wav = np.asarray(self._decode(
+            self.params, padded[None], jnp.asarray([n], jnp.int32)))[0]
         a = (start - lo) * hop
         b = a + (end - start) * hop
         return wav[a:b]

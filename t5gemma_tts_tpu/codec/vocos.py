@@ -244,7 +244,10 @@ def head(params: Dict, x: jnp.ndarray, cfg: VocosConfig,
     """Backbone features [B, T, dim] -> waveform [B, T*hop]."""
     h = x @ params["head"]["w"] + params["head"]["b"]  # [B, T, n_fft+2]
     half = cfg.n_fft // 2 + 1
-    mag = jnp.exp(jnp.clip(h[..., :half].astype(jnp.float32), max=100.0))
+    # Vocos ISTFTHead clips the MAGNITUDE at 1e2 (mag = clip(exp(x), 100)),
+    # not the exponent — clipping the exponent at 100 is a no-op safeguard
+    # and diverges from the reference for any |X| > 100
+    mag = jnp.clip(jnp.exp(h[..., :half].astype(jnp.float32)), max=100.0)
     phase = h[..., half:].astype(jnp.float32)
     return istft_same(mag * jnp.cos(phase), mag * jnp.sin(phase), cfg,
                       frame_lengths=lengths)

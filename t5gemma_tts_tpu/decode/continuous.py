@@ -179,25 +179,15 @@ def make_fns(cfg: VoiceConfig, dcfg: DecodeConfig) -> SegmentFns:
 
     def body(params, st: SlotState) -> SlotState:
         b = st.tokens.shape[0]
-        est_total = jnp.maximum(st.target_totals + 1, st.prompt_lens + 1)
-        time_budget = (st.target_totals - (st.prompt_lens + 1)
-                       + jnp.int32(sr * cfg.extra_cutoff))
-        if cfg.text_guard_frames_per_token > 0:
-            text_budget = (jnp.maximum(1, st.x_lens)
-                           * cfg.text_guard_frames_per_token)
-        else:
-            text_budget = jnp.full_like(st.x_lens,
-                                        jnp.iinfo(jnp.int32).max // 2)
+        est_total, time_budget, text_budget = engine.decode_budgets(
+            cfg, st.x_lens, st.prompt_lens, st.target_totals)
 
         logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
         token, argmax_tok = _sample_rows(
             cfg, dcfg, logits, st.steps, st.prev_token, st.consec_silence,
             st.rngs)
-
-        force = (token == eog) | (argmax_tok == eog)
-        force = force | (st.steps > text_budget) | (st.steps > time_budget)
-        force = force | (st.steps >= max_steps - 1)
-        token = jnp.where(force, eog, token)
+        token = engine.apply_stop_rules(cfg, token, argmax_tok, st.steps,
+                                        text_budget, time_budget, max_steps)
 
         live = st.active & ~st.done
         write_tok = jnp.where(live, token, s.pad)
@@ -206,13 +196,8 @@ def make_fns(cfg: VoiceConfig, dcfg: DecodeConfig) -> SegmentFns:
         now_done = st.done | (live & (token == eog))
         gen_lens = jnp.where(live & (token == eog), st.steps + 1, st.gen_lens)
 
-        if dcfg.silence_tokens:
-            silence = jnp.asarray(dcfg.silence_tokens, jnp.int32)
-            is_sil = jnp.any(token[:, None] == silence[None, :], axis=1)
-            consec = jnp.where(is_sil & (token == st.prev_token),
-                               st.consec_silence + 1, 0)
-        else:
-            consec = jnp.zeros_like(st.consec_silence)
+        consec = engine.silence_counter_update(dcfg, token, st.prev_token,
+                                               st.consec_silence)
 
         emb = voice.embed_audio(params, token[:, None]).astype(compute_dtype)
         if cfg.use_pm_rope:

@@ -74,6 +74,43 @@ def resolve_kv_mode(cfg: VoiceConfig, dcfg: DecodeConfig,
     return mode
 
 
+def decode_budgets(cfg: VoiceConfig, x_lens, prompt_lens, target_totals):
+    """Per-row (est_total, time_budget, text_budget) — the single source of
+    the stop-budget formulas shared by the sequential (_make_body),
+    speculative (decode_tokens_speculative), and continuous
+    (decode/continuous.py) loops. prompt_lens excludes BOS."""
+    prompt_offset = prompt_lens + 1                          # reference :921
+    est_total = jnp.maximum(target_totals + 1, prompt_offset)
+    time_budget = (target_totals - prompt_offset
+                   + jnp.int32(int(cfg.encodec_sr) * cfg.extra_cutoff))
+    if cfg.text_guard_frames_per_token > 0:
+        text_budget = jnp.maximum(1, x_lens) * cfg.text_guard_frames_per_token
+    else:
+        text_budget = jnp.full_like(x_lens, jnp.iinfo(jnp.int32).max // 2)
+    return est_total, time_budget, text_budget
+
+
+def apply_stop_rules(cfg: VoiceConfig, token, argmax_tok, step,
+                     text_budget, time_budget, max_steps: int):
+    """Force-stop guard (reference :988-1048 order): EOG sampled or argmax,
+    text budget, duration budget, buffer exhaustion. ``step`` may be a
+    scalar (sequential/speculative) or a per-row vector (continuous)."""
+    eog = cfg.eog_inference
+    force = (token == eog) | (argmax_tok == eog)
+    force = force | (step > text_budget) | (step > time_budget)
+    force = force | (step >= max_steps - 1)
+    return jnp.where(force, eog, token)
+
+
+def silence_counter_update(dcfg: DecodeConfig, token, prev_token, consec):
+    """Consecutive-silence run-length bookkeeping (reference :999-1011)."""
+    if dcfg.silence_tokens:
+        silence = jnp.asarray(dcfg.silence_tokens, jnp.int32)
+        is_sil = jnp.any(token[:, None] == silence[None, :], axis=1)
+        return jnp.where(is_sil & (token == prev_token), consec + 1, 0)
+    return jnp.zeros_like(consec)
+
+
 class DecodeOutputs(NamedTuple):
     tokens: jnp.ndarray     # [B, max_steps] generated tokens (incl. final EOG)
     gen_lens: jnp.ndarray   # [B] number of generated tokens incl. EOG
@@ -324,15 +361,8 @@ def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
     sr = int(cfg.encodec_sr)
 
     prompt_offset = prompt_lens + 1                          # reference :921
-    est_total = jnp.maximum(target_totals + 1, prompt_lens + 1)
-    time_budget = target_totals - prompt_offset + jnp.int32(sr * cfg.extra_cutoff)
-    if cfg.text_guard_frames_per_token > 0:
-        text_budget = jnp.maximum(1, x_lens) * cfg.text_guard_frames_per_token
-    else:
-        text_budget = jnp.full_like(x_lens, jnp.iinfo(jnp.int32).max // 2)
-
-    silence = jnp.asarray(dcfg.silence_tokens, jnp.int32) if dcfg.silence_tokens \
-        else None
+    est_total, time_budget, text_budget = decode_budgets(
+        cfg, x_lens, prompt_lens, target_totals)
 
     def body(st: _LoopState) -> _LoopState:
         paged = isinstance(st.cache, t5gemma.PagedDecoderCache)
@@ -340,11 +370,8 @@ def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
         logits = voice.predict_head(params["head"], st.last_hidden)[:, 0]
         token, argmax_tok = sample_step_token(
             cfg, dcfg, logits, st.step, st.prev_token, st.consec_silence, rng)
-
-        force = (token == eog) | (argmax_tok == eog)
-        force = force | (st.step > text_budget) | (st.step > time_budget)
-        force = force | (st.step >= max_steps - 1)  # buffer exhaustion
-        token = jnp.where(force, eog, token)
+        token = apply_stop_rules(cfg, token, argmax_tok, st.step,
+                                 text_budget, time_budget, max_steps)
 
         newly_active = ~st.done
         write_tok = jnp.where(newly_active, token, s.pad)
@@ -354,12 +381,8 @@ def _make_body(params, cfg: VoiceConfig, dcfg: DecodeConfig,
             newly_active & (token == eog), st.step + 1, st.gen_lens
         )
 
-        if silence is not None:
-            is_sil = jnp.any(token[:, None] == silence[None, :], axis=1)
-            consec = jnp.where(is_sil & (token == st.prev_token),
-                               st.consec_silence + 1, 0)
-        else:
-            consec = jnp.zeros_like(st.consec_silence)
+        consec = silence_counter_update(dcfg, token, st.prev_token,
+                                        st.consec_silence)
         prev_token = token
 
         # ---- decoder step for still-active rows (computed for all) --------

@@ -217,36 +217,23 @@ def decode_tokens_speculative(
     state = _SpecState(*st0, passes=jnp.int32(0), aux=aux0)
 
     prompt_offset = prompt_lens + 1
-    est_total = jnp.maximum(target_totals + 1, prompt_lens + 1)
-    time_budget = (target_totals - prompt_offset
-                   + jnp.int32(sr * cfg.extra_cutoff))
-    if cfg.text_guard_frames_per_token > 0:
-        text_budget = jnp.maximum(1, x_lens) * cfg.text_guard_frames_per_token
-    else:
-        text_budget = jnp.full_like(x_lens, jnp.iinfo(jnp.int32).max // 2)
+    est_total, time_budget, text_budget = engine.decode_budgets(
+        cfg, x_lens, prompt_lens, target_totals)
     t_enc = x.shape[1]
 
     def guarded_token(logits, step, prev, consec, done):
         """sample + the engine body's force-stop rules at absolute ``step``."""
         token, argmax_tok = engine.sample_step_token(
             cfg, dcfg, logits, step, prev, consec, rng)
-        force = (token == eog) | (argmax_tok == eog)
-        force = force | (step > text_budget) | (step > time_budget)
-        force = force | (step >= max_steps - 1)
-        token = jnp.where(force, eog, token)
-        return token
+        return engine.apply_stop_rules(cfg, token, argmax_tok, step,
+                                       text_budget, time_budget, max_steps)
 
     def chain_update(token, prev, consec, done):
         """prev-token / silence-counter / done bookkeeping for one emitted
         token (identical to the sequential body)."""
         newly = ~done
         now_done = done | (newly & (token == eog))
-        if dcfg.silence_tokens:
-            silence = jnp.asarray(dcfg.silence_tokens, jnp.int32)
-            is_sil = jnp.any(token[:, None] == silence[None, :], axis=1)
-            consec = jnp.where(is_sil & (token == prev), consec + 1, 0)
-        else:
-            consec = jnp.zeros_like(consec)
+        consec = engine.silence_counter_update(dcfg, token, prev, consec)
         return token, consec, now_done
 
     def body(st: _SpecState) -> _SpecState:

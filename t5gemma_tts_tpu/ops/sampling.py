@@ -106,20 +106,21 @@ def sample(
     return jax.random.categorical(rng, filtered.astype(jnp.float32), axis=-1)
 
 
-@partial(jax.jit, static_argnames=("top_k", "top_p", "min_p", "temperature"))
+@partial(jax.jit, static_argnames=("top_k", "top_p", "temperature"))
 def sample_topk_fast(
     rng: jax.Array,
     logits: jnp.ndarray,
     top_k: int = 30,
     top_p: float = 1.0,
-    min_p: float = 0.0,
     temperature: float = 1.0,
 ) -> jnp.ndarray:
-    """Decode-loop fast path: restrict filtering + draw to the top-k logits.
+    """Fast path: restrict top-p filtering + the draw to the top-k logits.
 
-    Requires top_k > 0. When min_p is enabled the min-p decision still uses
-    the full-vocab softmax (cheap single pass), matching reference semantics.
-    Returns int32 [B].
+    Requires top_k > 0. min_p is deliberately NOT supported here: the
+    reference's min_p bypasses top-k entirely and can keep more than k
+    survivors, so a top-k-restricted min_p would sample a different
+    distribution — use :func:`sample` (the decode engine already routes
+    min_p through the exact path). Returns int32 [B].
     """
     assert top_k > 0
     if temperature != 1.0:
@@ -134,16 +135,6 @@ def sample_topk_fast(
             [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
         )
         kept = jnp.where(remove, NEG_INF, vals)
-
-    if 0.0 < min_p < 1.0:
-        # probabilities w.r.t. the full vocab, evaluated at the top-k entries
-        lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
-        probs_full = jnp.exp(logits - lse)
-        remove_full = probs_full < min_p
-        active = jnp.all(remove_full.sum(-1) < logits.shape[-1])
-        probs_topk = jnp.exp(vals - lse)
-        minp_kept = jnp.where(probs_topk < min_p, NEG_INF, vals)
-        kept = jnp.where(active, minp_kept, kept)
 
     choice = jax.random.categorical(rng, kept.astype(jnp.float32), axis=-1)
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]

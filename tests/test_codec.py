@@ -119,6 +119,29 @@ def test_istft_matches_torch():
 # ---------------------------------------------------------------------------
 
 
+def test_head_clips_magnitude_not_exponent():
+    """Vocos ISTFTHead semantics: mag = clip(exp(x), 100). A log-magnitude
+    of 10 (exp ~ 22026) must act exactly like magnitude 100."""
+    import jax
+    cfg = VocosConfig(n_fft=64, hop_length=16)
+    rng = np.random.default_rng(0)
+    dim = 8
+    params = {"head": {
+        "w": jnp.zeros((dim, cfg.n_fft + 2), jnp.float32),
+        "b": jnp.asarray(rng.normal(0, 0.1, cfg.n_fft + 2), jnp.float32),
+    }}
+    # force one bin's log-magnitude to 10 -> raw exp() = 22026
+    params["head"]["b"] = params["head"]["b"].at[3].set(10.0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 12, dim)), jnp.float32)
+    got = np.asarray(vocos.head(params, x, cfg))
+    # reference behavior: the same input with that bin's MAGNITUDE at 100
+    params_ref = dict(params)
+    params_ref["head"] = dict(params["head"])
+    params_ref["head"]["b"] = params["head"]["b"].at[3].set(np.log(100.0))
+    want = np.asarray(vocos.head(params_ref, x, cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_decode_code_shapes_and_jit():
     cfg = tiny_codec_config()
     params = init_decoder_params(jax.random.PRNGKey(0), cfg)
