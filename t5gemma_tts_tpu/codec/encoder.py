@@ -143,30 +143,53 @@ def _conv1d(x, p, stride=1, dilation=1, padding="SAME"):
     return out + p["b"]
 
 
+def _mask_time(h: jnp.ndarray, lens) -> jnp.ndarray:
+    """Zero positions >= lens[b] along the time axis ([B, T, C])."""
+    if lens is None:
+        return h
+    t = h.shape[1]
+    keep = jnp.arange(t)[None, :, None] < lens[:, None, None]
+    return jnp.where(keep, h, 0.0).astype(h.dtype)
+
+
 def acoustic_forward(params: PyTree, cfg: AcousticEncoderConfig,
-                     wav: jnp.ndarray) -> jnp.ndarray:
+                     wav: jnp.ndarray, wav_lens=None) -> jnp.ndarray:
     """wav: [B, S] -> [B, S // prod(ratios), out_dim].
 
     Down convs use torch-style symmetric padding ceil(stride/2) on kernel
     2*stride (not XLA SAME, which pads asymmetrically for odd strides) so
-    converted checkpoints produce sample-aligned activations."""
-    h = _conv1d(wav[..., None], params["conv_in"])
+    converted checkpoints produce sample-aligned activations.
+
+    With ``wav_lens``, activations are zeroed past each row's valid length
+    after EVERY conv, so length-bucketed padded encodes equal an unpadded
+    encode: conv biases otherwise make the pad region nonzero from the
+    second layer on, and the receptive fields of the last valid frames
+    then see pad garbage instead of the implicit zero padding (the codes
+    near the end of a voice-clone prompt changed with the bucket size)."""
+    lens = None if wav_lens is None else wav_lens.astype(jnp.int32)
+    h = _mask_time(_conv1d(wav[..., None], params["conv_in"]), lens)
     for block, ratio in zip(params["blocks"], cfg.ratios):
         for unit, d in zip(block["units"], cfg.dilations):
             r = h
-            u = _conv1d(jax.nn.elu(h), unit["conv1"], dilation=d)
-            u = _conv1d(jax.nn.elu(u), unit["conv2"])
+            u = _mask_time(_conv1d(jax.nn.elu(h), unit["conv1"], dilation=d),
+                           lens)
+            u = _mask_time(_conv1d(jax.nn.elu(u), unit["conv2"]), lens)
             h = r + u
         pad = -(-ratio // 2)
         h = _conv1d(jax.nn.elu(h), block["down"], stride=ratio,
                     padding=[(pad, pad)])
+        if lens is not None:
+            # exact unpadded output length of this strided conv
+            lens = (lens + 2 * pad - 2 * ratio) // ratio + 1
+            h = _mask_time(h, lens)
     if cfg.rnn_layers and "rnn" in params:
         r = h
         for lp in params["rnn"]:
-            h = lstm_forward(lp, h)
+            h = lstm_forward(lp, h)   # causal: in-range outputs unaffected
         if cfg.rnn_residual:
             h = h + r
-    return _conv1d(jax.nn.elu(h), params["conv_out"])
+        h = _mask_time(h, lens)
+    return _mask_time(_conv1d(jax.nn.elu(h), params["conv_out"]), lens)
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +260,7 @@ def fuse_features(params: PyTree, cfg, wav: jnp.ndarray,
     scfg = getattr(cfg, "semantic_cfg", SemanticEncoderConfig())
     ccfg = getattr(cfg, "conformer_cfg", ConformerConfig())
 
-    acoustic = acoustic_forward(params["acoustic"], acfg, wav)
+    acoustic = acoustic_forward(params["acoustic"], acfg, wav, wav_lens)
     feats, feat_lens = feat_mod.extract_features(wav, wav_lens)
     sem_hidden = sem_mod.forward(params["semantic_model"], ccfg, feats,
                                  feat_lens)

@@ -93,6 +93,27 @@ def test_acoustic_encoder_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_acoustic_encoder_pad_invariant():
+    """Padded-to-bucket encode must equal unpadded: conv biases otherwise
+    leak into the tail frames' receptive fields (code-review finding)."""
+    acfg, _, _ = enc_mod.tiny_encoder_configs()
+    params = enc_mod.init_acoustic_params(jax.random.PRNGKey(0), acfg)
+    rng = np.random.default_rng(3)
+    s_valid = 52
+    wav = rng.normal(size=(1, s_valid)).astype(np.float32)
+    want = np.asarray(enc_mod.acoustic_forward(
+        params, acfg, jnp.asarray(wav)))
+    for pad_to in (64, 96):
+        padded = np.zeros((1, pad_to), np.float32)
+        padded[:, :s_valid] = wav
+        got = np.asarray(enc_mod.acoustic_forward(
+            params, acfg, jnp.asarray(padded),
+            wav_lens=jnp.asarray([s_valid], jnp.int32)))
+        t = want.shape[1]
+        np.testing.assert_allclose(got[:, :t], want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"pad_to={pad_to}")
+
+
 def test_full_encode_smoke():
     cfg = tiny_codec_config()
     params = init_decoder_params(jax.random.PRNGKey(0), cfg)
