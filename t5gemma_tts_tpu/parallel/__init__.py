@@ -1,3 +1,4 @@
 from .mesh import (  # noqa: F401
-    batch_spec, make_mesh, param_specs, shard_batch, shard_params,
+    batch_spec, make_mesh, param_specs, shard_batch, shard_opt_state,
+    shard_params,
 )

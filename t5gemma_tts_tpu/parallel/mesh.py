@@ -109,6 +109,43 @@ def shard_params(params: PyTree, mesh: Mesh) -> PyTree:
     )
 
 
+def _zero_spec(spec: P, leaf, mesh: Mesh) -> P:
+    """Extend a param spec with DATA-axis sharding on the first free,
+    divisible dimension (ZeRO-1: optimizer moments split across dp)."""
+    dp = mesh.shape[DATA_AXIS]
+    if dp <= 1 or leaf.ndim == 0:
+        return spec
+    dims = list(tuple(spec) + (None,) * (leaf.ndim - len(spec)))
+    for d, ax in enumerate(dims):
+        if ax is None and leaf.shape[d] % dp == 0 and leaf.shape[d] >= dp:
+            dims[d] = DATA_AXIS
+            break
+    return P(*dims)
+
+
+def shard_opt_state(opt, params: PyTree, mesh: Mesh):
+    """ZeRO-1 sharding of the optimizer state: the param-shaped moment
+    trees (ScaledAdam delta/exp_avg_sq, AdamW mu/nu — f32, 2x the bf16
+    params each) are sharded over the DATA axis on top of any
+    tensor-parallel sharding, dividing optimizer memory by the dp size.
+    XLA inserts the gathers/slices around the update (the reference has no
+    equivalent; DDP replicates optimizer state per rank)."""
+    specs = param_specs(params, mesh)
+
+    def put_tree(tree):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(
+                x, NamedSharding(mesh, _zero_spec(s, x, mesh))),
+            tree, specs,
+        )
+
+    fields = {}
+    for name in ("delta", "exp_avg_sq", "mu", "nu"):
+        if hasattr(opt, name):
+            fields[name] = put_tree(getattr(opt, name))
+    return opt._replace(**fields) if fields else opt
+
+
 def batch_spec(axis: int = 0) -> P:
     return P(*([None] * axis), DATA_AXIS)
 

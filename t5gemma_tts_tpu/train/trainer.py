@@ -127,6 +127,11 @@ class Trainer:
                 jax.random.PRNGKey(tcfg.seed + 1), params, self.lcfg
             )
             self.state = train_step.init_state(adapters, self.ocfg)
+            if mesh is not None:
+                from .. import parallel as par
+
+                self.state = self.state._replace(opt=par.shard_opt_state(
+                    self.state.opt, adapters, mesh))
             lora_step = jax.jit(
                 train_step.make_lora_train_step(cfg, self.ocfg, self.lcfg)
             )
@@ -149,6 +154,11 @@ class Trainer:
             self._step_fn = step_fn
         else:
             self.state = train_step.init_state(params, self.ocfg)
+            if mesh is not None:
+                from .. import parallel as par
+
+                self.state = self.state._replace(opt=par.shard_opt_state(
+                    self.state.opt, params, mesh))
             self._step_fn = train_step.compile_train_step(cfg, self.ocfg)
         self._eval_fn = jax.jit(train_step.make_eval_step(cfg))
 

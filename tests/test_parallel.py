@@ -42,12 +42,31 @@ def test_sharded_train_step_matches_single_device():
     s1 = train_step.init_state(params, ocfg)
     s1b, m1 = step1(s1, batch, lr)
 
-    # dp=4, tp=2 mesh
+    # dp=4, tp=2 mesh with ZeRO-1 optimizer-state sharding
     mesh = parallel.make_mesh(dp=4, tp=2)
     sp = parallel.shard_params(params, mesh)
     sb = parallel.shard_batch(batch, mesh, axis=1)
     stepN = train_step.compile_train_step(cfg, ocfg, donate=False)
     sN = train_step.init_state(sp, ocfg)
+    sN = sN._replace(opt=parallel.shard_opt_state(sN.opt, sp, mesh))
+    # the big moment trees really are dp-sharded (per-device bytes / 4)
+    from jax.sharding import PartitionSpec as P
+
+    big = [x for x in jax.tree_util.tree_leaves(sN.opt.exp_avg_sq)
+           if x.size >= 4 and any(d % 4 == 0 and d >= 4 for d in x.shape)]
+    assert big, "no shardable moment leaves found"
+    def uses_data_axis(spec):
+        flat = []
+        for e in tuple(spec):
+            flat.extend(e if isinstance(e, tuple) else (e,))
+        return parallel.mesh.DATA_AXIS in flat
+
+    n_sharded = sum(1 for x in big if uses_data_axis(x.sharding.spec))
+    assert n_sharded > 0, "ZeRO-1 sharded no moment leaves"
+    # per-device footprint really shrank (dp=4)
+    ex = next(x for x in big if uses_data_axis(x.sharding.spec))
+    shard_elems = ex.sharding.shard_shape(ex.shape)
+    assert np.prod(shard_elems) <= ex.size // 4
     sNb, mN = stepN(sN, sb, lr)
 
     np.testing.assert_allclose(float(m1.loss), float(mN.loss), rtol=1e-4)
