@@ -100,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="local XCodec2 safetensors dir for diagnostics decode")
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--zero_opt_sharding", type=int, default=0,
+                   help="ZeRO-1: shard optimizer moments over the dp axis")
     return p
 
 
@@ -238,6 +240,7 @@ def main(argv: Optional[list] = None):
         use_lora=bool(args.use_lora),
         lora_r=args.lora_r,
         lora_alpha=args.lora_alpha,
+        zero_opt_sharding=bool(args.zero_opt_sharding),
     )
 
     mesh = None

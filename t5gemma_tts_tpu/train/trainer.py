@@ -67,6 +67,13 @@ class TrainerConfig:
     seed: int = 1
     text_pad_token: int = 0
     text_max_length: int = 1000
+    # ZeRO-1 optimizer-state sharding over the dp axis (parallel.
+    # shard_opt_state). Opt-in: on the virtual CPU mesh, orbax's threaded
+    # checkpoint save can interleave the gather programs of sharded moment
+    # leaves with in-flight step collectives and deadlock the in-process
+    # communicator; on real multi-chip ICI this is the memory saver for
+    # large fine-tunes.
+    zero_opt_sharding: bool = False
     # validation generation diagnostics (reference trainer.py:668-890)
     inference_every_n_steps: int = 3000
     # LoRA fine-tuning (reference config.py:99-108)
@@ -127,7 +134,7 @@ class Trainer:
                 jax.random.PRNGKey(tcfg.seed + 1), params, self.lcfg
             )
             self.state = train_step.init_state(adapters, self.ocfg)
-            if mesh is not None:
+            if mesh is not None and tcfg.zero_opt_sharding:
                 from .. import parallel as par
 
                 self.state = self.state._replace(opt=par.shard_opt_state(
@@ -154,7 +161,7 @@ class Trainer:
             self._step_fn = step_fn
         else:
             self.state = train_step.init_state(params, self.ocfg)
-            if mesh is not None:
+            if mesh is not None and tcfg.zero_opt_sharding:
                 from .. import parallel as par
 
                 self.state = self.state._replace(opt=par.shard_opt_state(
