@@ -273,16 +273,51 @@ def w2vbert_state_dict_to_params(
 # ---------------------------------------------------------------------------
 
 
+class _Reads(dict):
+    """Dict recording keys actually READ (``[]``); membership probes via
+    ``in`` are deliberately not counted, so a tensor that is only sniffed but
+    never consumed still shows up as a leftover."""
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.read = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+
+#: State-dict keys that are legitimately not converted: torch-side training /
+#: buffer artifacts with no inference-time meaning.
+_IGNORABLE = (
+    re.compile(r"(^|\.)masked_spec_embed$"),     # spec-augment buffer
+    re.compile(r"num_batches_tracked$"),
+    re.compile(r"(^|\.)position_ids$"),
+)
+
+
 def xcodec2_state_dict_to_params(
-    sd: Mapping[str, np.ndarray], cfg, dtype=None
+    sd: Mapping[str, np.ndarray], cfg, dtype=None, decode_only: bool = False,
+    strict: bool = True,
 ) -> Dict[str, Any]:
     """Map an XCodec2 ``model.safetensors`` state dict onto decoder+encoder
-    pytrees. cfg: XCodec2Config."""
+    pytrees. cfg: XCodec2Config.
+
+    The conversion is globally key-exhaustive (reference contract:
+    data/tokenizer.py:79-98 loads the checkpoint strictly): after mapping,
+    every tensor must have been read, be a known-ignorable torch buffer, or
+    belong to a conformer layer beyond ``cfg.conformer_cfg.num_layers`` (the
+    reference taps hidden_states[16] of a 24-layer w2v-BERT, so deeper layers
+    are dead weight by construction). Anything else raises with the offending
+    keys under ``strict`` (default). Required sections are asserted: fsq +
+    vocos + fc_post_a always, plus the encode branch (semantic_model,
+    semantic_encoder, acoustic, fc_prior) unless ``decode_only``.
+    """
     import jax
     import jax.numpy as jnp
 
     dtype = jnp.dtype(dtype or jnp.float32)
-    sd = rename_beta_keys(sd)
+    sd = _Reads(rename_beta_keys(sd))
 
     def has(k):
         return k in sd
@@ -380,5 +415,42 @@ def xcodec2_state_dict_to_params(
                 "checkpoint acoustic-encoder layout differs from the "
                 f"configured one:\n  checkpoint: {acfg}\n  config:     {want}\n"
                 "construct XCodec2Config with the inferred acoustic_cfg")
+        # the sub-converter is itself key-exhaustive over its prefix (it
+        # raised otherwise), but it re-derives keys post-weight-norm-merge,
+        # so account for the raw keys here wholesale.
+        sd.read.update(k for k in sd if k.startswith("CodecEnc."))
+
+    # --- required-sections contract -------------------------------------
+    required = ["fsq", "vocos", "fc_post_a"]
+    if not decode_only:
+        required += ["fc_prior", "semantic_model", "semantic_encoder",
+                     "acoustic"]
+    missing = [s for s in required if s not in params]
+    if missing:
+        raise ValueError(
+            f"XCodec2 conversion: required sections missing from the "
+            f"checkpoint: {missing} (decode_only={decode_only}). The key "
+            f"inventory did not match any known layout for these sections; "
+            f"first few keys: {sorted(sd)[:6]}")
+
+    # --- global leftover check ------------------------------------------
+    n_sem_layers = cfg.conformer_cfg.num_layers
+    sem_layer_re = re.compile(r"^semantic_model\.encoder\.layers\.(\d+)\.")
+
+    def ignorable(k: str) -> bool:
+        m = sem_layer_re.match(k)
+        if m and int(m.group(1)) >= n_sem_layers:
+            return True     # beyond the tapped hidden layer; dead weight
+        return any(p.search(k) for p in _IGNORABLE)
+
+    leftovers = sorted(k for k in sd if k not in sd.read and not ignorable(k))
+    if leftovers:
+        msg = (f"XCodec2 conversion: {len(leftovers)} state-dict tensors were "
+               f"not consumed: {leftovers[:8]}"
+               f"{'...' if len(leftovers) > 8 else ''}")
+        if strict:
+            raise ValueError(msg)
+        import logging
+        logging.getLogger(__name__).warning(msg)
 
     return params

@@ -82,6 +82,10 @@ class PreprocessConfig:
     overwrite: bool = False
     max_neighbors_per_utt: Optional[int] = 64
     seed: int = 0
+    min_duration_sec: float = MIN_DURATION_SEC
+    max_duration_sec: float = MAX_DURATION_SEC
+    max_samples: Optional[int] = None
+    make_neighbors: bool = True
 
 
 def ensure_dirs(base: str) -> Dict[str, str]:
@@ -150,7 +154,7 @@ def sample_filter(cfg: PreprocessConfig, s: Sample,
     if repetition_found(text, cfg.repetition_length, cfg.repetition_tolerance):
         return "repetition"
     dur = s.duration_sec or len(s.wav) / encode_sr
-    if dur < MIN_DURATION_SEC or dur > MAX_DURATION_SEC:
+    if dur < cfg.min_duration_sec or dur > cfg.max_duration_sec:
         return "duration"
     return None
 
@@ -205,7 +209,10 @@ def prepare(
         s_split.clear()
 
     s_split: List[str] = []
+    accepted = 0
     for s in samples:
+        if cfg.max_samples is not None and accepted >= cfg.max_samples:
+            break
         s.utt_id = sanitize_utt_id(s.utt_id)
         if s.utt_id in done:
             stats["resumed"] += 1
@@ -219,13 +226,15 @@ def prepare(
             split = "valid"
         buf.append(s)
         s_split.append(split)
+        accepted += 1
         if len(buf) >= cfg.encode_batch:
             flush()
     flush()
     log.info("preprocess stats: %s", dict(stats))
 
-    generate_neighbors(records, dirs["neighbors"],
-                       cfg.max_neighbors_per_utt, cfg.seed)
+    if cfg.make_neighbors:
+        generate_neighbors(records, dirs["neighbors"],
+                           cfg.max_neighbors_per_utt, cfg.seed)
     return records
 
 
@@ -286,6 +295,27 @@ def iter_wav_folder(folder: str, encode_sr: int) -> Iterator[Sample]:
                      duration_sec=len(wav) / encode_sr)
 
 
+def iter_wav_folder_meta(folder: str, encode_sr: int) -> Iterator[Sample]:
+    """Metadata-only pass over a wav folder (audio not decoded) — used by
+    ``--neighbors-only`` replay, mirroring the reference's no-audio dataset
+    replay (prepare_emilia_en.py:1293-1483)."""
+    import wave
+
+    for fn in sorted(os.listdir(folder)):
+        if not fn.endswith(".wav"):
+            continue
+        utt = fn[:-4]
+        txt = os.path.join(folder, utt + ".txt")
+        if not os.path.isfile(txt):
+            continue
+        with wave.open(os.path.join(folder, fn), "rb") as w:
+            dur = w.getnframes() / float(w.getframerate())
+        with open(txt, encoding="utf-8") as f:
+            text = f.read().strip()
+        yield Sample(utt_id=utt, text=text, wav=np.zeros(0, np.float32),
+                     speaker=utt.rsplit("_", 1)[0], duration_sec=dur)
+
+
 def iter_hf_dataset(name_or_path: str, encode_sr: int,
                     split: str = "train", streaming: bool = True,
                     text_column: str = "text",
@@ -316,3 +346,190 @@ def iter_hf_dataset(name_or_path: str, encode_sr: int,
             language=str(meta.get("language") or ""),
             duration_sec=float(meta.get("duration") or len(arr) / encode_sr),
         )
+
+
+# ---------------------------------------------------------------------------
+# CLI entry point: python -m t5gemma_tts_tpu.data.preprocess
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> "argparse.ArgumentParser":
+    """Flag surface mirrors the reference preprocessing script
+    (reference: examples/data_preprocess/prepare_emilia_en.py:404-507):
+    dataset source + columns, language allow-list, blocklist, bad-substring
+    and repetition filters, duration gates, valid split, resume/overwrite,
+    neighbors on/off. TPU-specific additions: --wav-folder (local offline
+    source), --codec-dir (local safetensors), --tiny-random-codec (offline
+    smoke/testing path), --encode-batch (batched SPMD encode replaces the
+    reference's thread-per-GPU EncoderPool)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m t5gemma_tts_tpu.data.preprocess",
+        description="Raw speech -> training layout "
+                    "(text/ xcodec2_1cb/ manifest_final/ neighbors/)")
+    src = p.add_argument_group("source")
+    src.add_argument("--dataset-name", default=None,
+                     help="HF dataset (Emilia-YODAS-style).")
+    src.add_argument("--wav-folder", default=None,
+                     help="Local folder of <utt>.wav + <utt>.txt pairs.")
+    src.add_argument("--split", default="train")
+    src.add_argument("--streaming", action="store_true", default=True)
+    src.add_argument("--no-streaming", dest="streaming", action="store_false")
+    src.add_argument("--audio-column", default="mp3")
+    src.add_argument("--text-column", default="text")
+    src.add_argument("--id-column", default="_id")
+    src.add_argument("--speaker-column", default="speaker")
+    src.add_argument("--max-samples", type=int, default=None)
+
+    out = p.add_argument_group("output")
+    out.add_argument("--output-dir", required=True)
+    out.add_argument("--valid-ratio", type=float, default=0.0)
+    out.add_argument("--overwrite", action="store_true")
+    out.add_argument("--seed", type=int, default=42)
+
+    codec = p.add_argument_group("codec")
+    codec.add_argument("--tokenizer-model",
+                       default="NandemoGHS/Anime-XCodec2-44.1kHz-v2",
+                       help="XCodec2 checkpoint (HF hub) for tokenisation.")
+    codec.add_argument("--codec-dir", default=None,
+                       help="Local dir with model.safetensors (offline).")
+    codec.add_argument("--tiny-random-codec", action="store_true",
+                       help="Random tiny codec (layout smoke tests only; "
+                            "tokens are NOT meaningful).")
+    codec.add_argument("--encode-batch", type=int, default=16)
+    codec.add_argument("--encodec-sr", type=float, default=50.0)
+
+    filt = p.add_argument_group("filters")
+    filt.add_argument("--allowed-languages", default="",
+                      help="Comma-separated codes to keep; empty keeps all.")
+    filt.add_argument("--blocklist-file", default=None,
+                      help="File of utterance ids to drop, one per line.")
+    filt.add_argument("--extra-blocklist", nargs="*", default=None)
+    filt.add_argument("--bad-substrings",
+                      default=",".join(DEFAULT_BAD_SUBSTRINGS))
+    filt.add_argument("--repetition-length", type=int, default=4)
+    filt.add_argument("--repetition-tolerance", type=int, default=10)
+    filt.add_argument("--min-duration", type=float, default=MIN_DURATION_SEC)
+    filt.add_argument("--max-duration", type=float, default=MAX_DURATION_SEC)
+
+    nb = p.add_argument_group("neighbors")
+    nb.add_argument("--max-neighbors-per-utt", type=int, default=None)
+    nb.add_argument("--neighbors-only", action="store_true",
+                    help="Skip encoding; rebuild neighbors/ from the "
+                         "existing manifests + source metadata.")
+    nb.add_argument("--no-neighbors", action="store_true")
+    return p
+
+
+def _cli_tokenizer(args):
+    from ..codec.audio_tokenizer import AudioTokenizer
+
+    if args.tiny_random_codec:
+        import jax
+
+        from ..codec.model import (
+            init_decoder_params, init_encoder_params_for, tiny_codec_config,
+        )
+
+        ccfg = tiny_codec_config()
+        params = init_decoder_params(jax.random.PRNGKey(0), ccfg)
+        params.update(init_encoder_params_for(jax.random.PRNGKey(1), ccfg))
+        return AudioTokenizer(params, ccfg)
+
+    from ..inference.cli import _load_codec
+
+    ns = type("NS", (), {})()
+    ns.codec_dir = args.codec_dir
+    ns.xcodec2_model_name = args.tokenizer_model
+    ns.random_codec = False
+    return _load_codec(ns, None)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s [%(levelname)s] %(message)s")
+    args = build_parser().parse_args(argv)
+    if not args.dataset_name and not args.wav_folder:
+        raise SystemExit("one of --dataset-name / --wav-folder is required")
+
+    blocklist = list(args.extra_blocklist or ())
+    if args.blocklist_file:
+        with open(args.blocklist_file, encoding="utf-8") as f:
+            blocklist += [ln.strip() for ln in f if ln.strip()]
+    langs = tuple(s.strip().lower()
+                  for s in args.allowed_languages.split(",") if s.strip())
+    cfg = PreprocessConfig(
+        out_dir=args.output_dir,
+        split=args.split if args.split != "valid" else "valid",
+        valid_fraction=args.valid_ratio,
+        languages=langs,
+        blocklist=tuple(blocklist),
+        bad_substrings=tuple(
+            s for s in args.bad_substrings.split(",") if s),
+        repetition_length=args.repetition_length,
+        repetition_tolerance=args.repetition_tolerance,
+        encode_batch=args.encode_batch,
+        encodec_sr=int(args.encodec_sr),
+        overwrite=args.overwrite,
+        max_neighbors_per_utt=args.max_neighbors_per_utt,
+        seed=args.seed,
+        min_duration_sec=args.min_duration,
+        max_duration_sec=args.max_duration,
+        max_samples=args.max_samples,
+    )
+
+    if args.neighbors_only:
+        # Replay metadata for utterances already in the manifests and rebuild
+        # neighbors/ (reference prepare_emilia_en.py:1293-1483).
+        dirs = ensure_dirs(cfg.out_dir)
+        done = load_done_ids(dirs)
+        if args.wav_folder:
+            it = iter_wav_folder_meta(args.wav_folder, int(args.encodec_sr))
+        else:
+            it = iter_hf_dataset(
+                args.dataset_name, int(args.encodec_sr), split=args.split,
+                streaming=args.streaming, text_column=args.text_column,
+                speaker_column=args.speaker_column,
+                audio_column=args.audio_column, id_column=args.id_column)
+        records = []
+        split_of = {}
+        for fn in os.listdir(dirs["manifest"]) if os.path.isdir(
+                dirs["manifest"]) else []:
+            with open(os.path.join(dirs["manifest"], fn)) as f:
+                for line in f:
+                    utt = line.split("\t")[0].split("/")[-1].strip()
+                    split_of[utt] = fn[:-len(".txt")]
+        for s in it:
+            utt = sanitize_utt_id(s.utt_id)
+            if utt not in done:
+                continue
+            records.append(SampleRecord(
+                utt_id=f"{hashlib.md5(utt.encode()).hexdigest()[:2]}/{utt}",
+                speaker=s.speaker,
+                duration_sec=s.duration_sec,
+                split=split_of.get(utt, cfg.split)))
+        generate_neighbors(records, dirs["neighbors"],
+                           cfg.max_neighbors_per_utt, cfg.seed)
+        log.info("neighbors rebuilt for %d utterances", len(records))
+        return 0
+
+    tok = _cli_tokenizer(args)
+    encode_sr = tok.encode_sample_rate
+    if args.wav_folder:
+        it = iter_wav_folder(args.wav_folder, encode_sr)
+    else:
+        it = iter_hf_dataset(
+            args.dataset_name, encode_sr, split=args.split,
+            streaming=args.streaming, text_column=args.text_column,
+            speaker_column=args.speaker_column,
+            audio_column=args.audio_column, id_column=args.id_column)
+    if args.no_neighbors:
+        cfg.make_neighbors = False
+    records = prepare(it, tok, cfg)
+    log.info("wrote %d utterances to %s", len(records), cfg.out_dir)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via CLI e2e test
+    raise SystemExit(main())

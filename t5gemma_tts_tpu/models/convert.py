@@ -101,7 +101,9 @@ class _Tracked(dict):
         return super().__getitem__(k)
 
     def __contains__(self, k):
-        self.used.add(k)          # membership probe counts as consumption
+        # Membership probes do NOT count as consumption: a tensor that
+        # conversion code only ever checks with ``in`` but never reads must
+        # still show up as a leftover for the strict exhaustiveness check.
         return super().__contains__(k)
 
 

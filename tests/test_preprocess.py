@@ -89,3 +89,68 @@ def test_prepare_roundtrip(tmp_path):
     spk = r.utt_id.split("/")[-1].split("_")[0]
     for line in lines:
         assert spk in line
+
+
+def test_preprocess_cli_e2e(tmp_path):
+    """python -m t5gemma_tts_tpu.data.preprocess over a tiny wav folder
+    produces the full training layout (reference flag surface:
+    prepare_emilia_en.py:404-507), including resume and neighbors-only."""
+    import subprocess
+    import sys
+
+    ccfg = tiny_codec_config()
+    sr = ccfg.encode_sample_rate
+    src = tmp_path / "raw"
+    src.mkdir()
+    rng = np.random.default_rng(1)
+    for spk in range(2):
+        for j in range(3):
+            utt = f"spk{spk}_{j:02d}"
+            wav = (rng.normal(size=int(sr * (1.0 + j))) * 0.1).astype(np.float32)
+            audio_io.write_wav(str(src / f"{utt}.wav"), wav, sr)
+            (src / f"{utt}.txt").write_text(f"utterance {spk} number {j}")
+    # one sample that the blocklist-file must drop
+    audio_io.write_wav(str(src / "dropme_00.wav"),
+                       np.zeros(sr, np.float32), sr)
+    (src / "dropme_00.txt").write_text("should be dropped")
+    blf = tmp_path / "block.txt"
+    blf.write_text("dropme_00\n")
+
+    out = tmp_path / "prepared"
+    cmd = [sys.executable, "-m", "t5gemma_tts_tpu.data.preprocess",
+           "--wav-folder", str(src), "--output-dir", str(out),
+           "--tiny-random-codec", "--encode-batch", "4",
+           "--blocklist-file", str(blf), "--seed", "7"]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # full layout present
+    for sub in ("text", "xcodec2_1cb", "manifest_final", "neighbors"):
+        assert (out / sub).is_dir()
+    manifest = (out / "manifest_final" / "train.txt").read_text().splitlines()
+    assert len(manifest) == 6          # blocklisted sample dropped
+    assert all("\t" in ln for ln in manifest)
+    utt0 = manifest[0].split("\t")[0]
+    assert (out / "text" / (utt0 + ".txt")).is_file()
+    codes = (out / "xcodec2_1cb" / (utt0 + ".txt")).read_text().split()
+    assert all(c.isdigit() for c in codes)
+    nb = (out / "neighbors" / (utt0 + ".txt")).read_text().splitlines()
+    assert len(nb) == 2                # 2 same-speaker neighbors
+
+    # resume: re-run writes nothing new, exits 0
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert len((out / "manifest_final" / "train.txt")
+               .read_text().splitlines()) == 6
+
+    # neighbors-only replay rebuilds neighbor lists from manifests
+    import shutil
+    shutil.rmtree(out / "neighbors")
+    r3 = subprocess.run(cmd + ["--neighbors-only"], capture_output=True,
+                        text=True, env=env, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    nb2 = (out / "neighbors" / (utt0 + ".txt")).read_text().splitlines()
+    assert nb2 == nb
