@@ -123,6 +123,36 @@ def _zero_spec(spec: P, leaf, mesh: Mesh) -> P:
     return P(*dims)
 
 
+_MOMENT_FIELDS = ("delta", "exp_avg_sq", "mu", "nu")
+
+
+def opt_state_shardings(opt, params: PyTree, mesh: Mesh):
+    """Same-structure tree of NamedShardings for an optimizer state under
+    ZeRO-1: param-shaped moment trees get the dp-extended param specs
+    (_zero_spec), everything else (scalars, per-tensor rms buffers) is
+    replicated. Used both to place the state (shard_opt_state) and to PIN
+    it inside the jitted step via with_sharding_constraint — without the
+    pin, GSPMD may re-place the updated moments after the first step and
+    silently lose the memory saving."""
+    specs = param_specs(params, mesh)
+    rep = NamedSharding(mesh, P())
+
+    def shard_tree(tree):
+        return jax.tree_util.tree_map(
+            lambda x, s: NamedSharding(mesh, _zero_spec(s, x, mesh)),
+            tree, specs,
+        )
+
+    fields = {}
+    for name in opt._fields:
+        val = getattr(opt, name)
+        if name in _MOMENT_FIELDS:
+            fields[name] = shard_tree(val)
+        else:
+            fields[name] = jax.tree_util.tree_map(lambda x: rep, val)
+    return type(opt)(**fields)
+
+
 def shard_opt_state(opt, params: PyTree, mesh: Mesh):
     """ZeRO-1 sharding of the optimizer state: the param-shaped moment
     trees (ScaledAdam delta/exp_avg_sq, AdamW mu/nu — f32, 2x the bf16
@@ -130,19 +160,12 @@ def shard_opt_state(opt, params: PyTree, mesh: Mesh):
     tensor-parallel sharding, dividing optimizer memory by the dp size.
     XLA inserts the gathers/slices around the update (the reference has no
     equivalent; DDP replicates optimizer state per rank)."""
-    specs = param_specs(params, mesh)
-
-    def put_tree(tree):
-        return jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(
-                x, NamedSharding(mesh, _zero_spec(s, x, mesh))),
-            tree, specs,
-        )
-
-    fields = {}
-    for name in ("delta", "exp_avg_sq", "mu", "nu"):
-        if hasattr(opt, name):
-            fields[name] = put_tree(getattr(opt, name))
+    shardings = opt_state_shardings(opt, params, mesh)
+    fields = {
+        name: jax.tree_util.tree_map(
+            jax.device_put, getattr(opt, name), getattr(shardings, name))
+        for name in _MOMENT_FIELDS if hasattr(opt, name)
+    }
     return opt._replace(**fields) if fields else opt
 
 

@@ -100,8 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="local XCodec2 safetensors dir for diagnostics decode")
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
-    p.add_argument("--zero_opt_sharding", type=int, default=0,
-                   help="ZeRO-1: shard optimizer moments over the dp axis")
+    p.add_argument("--zero_opt_sharding", type=int, default=1,
+                   help="ZeRO-1: shard optimizer moments over the dp axis "
+                        "(default on; 0 replicates them per device)")
     return p
 
 

@@ -387,3 +387,47 @@ def linear_warmup_decay_lr(base_lr: float, step, total_steps: int,
         0.0, (total_steps - step) / jnp.maximum(total_steps - warmup_steps, 1.0)
     )
     return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+
+def dominant_parameter_report(grads: PyTree, state: ScaledAdamState,
+                              params: PyTree, top_k: int = 3):
+    """Which tensors dominate the clipped quantity sum((grad*param_rms)^2)?
+
+    Observability mirror of the reference's dominant-parameter diagnostic
+    (reference steps/optim.py:445-508): when training misbehaves (NaN skip,
+    exploding norm), this names the culprit tensor instead of leaving an
+    anonymous global norm. Returns a list of dicts sorted by proportion,
+    ``[{name, proportion, sumsq, grad_sumsq, rms_sq}, ...]``; host-side,
+    for logging — do not call it inside the jitted step.
+    """
+    import numpy as np
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    paths = [p for p, _ in flat]
+    leaves_p = [leaf for _, leaf in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    leaves_g = treedef.flatten_up_to(grads)
+    rms_list = treedef.flatten_up_to(state.param_rms)
+    stacked = [_is_stacked(p) for p in paths]
+
+    rows = []
+    for path, p, g, r, st in zip(paths, leaves_p, leaves_g, rms_list, stacked):
+        g = np.asarray(g, np.float32)
+        if _is_scalarish(p, st):
+            sumsq = float((g ** 2).sum())
+            rms_sq = 1.0
+        else:
+            r = np.asarray(r, np.float32)
+            sumsq = float(((g * r) ** 2).sum())
+            rms_sq = float((r ** 2).mean())
+        rows.append({
+            "name": jax.tree_util.keystr(path),
+            "sumsq": sumsq,
+            "grad_sumsq": float((g ** 2).sum()),
+            "rms_sq": rms_sq,
+        })
+    tot = max(sum(row["sumsq"] for row in rows), 1e-30)
+    for row in rows:
+        row["proportion"] = row["sumsq"] / tot
+    rows.sort(key=lambda row: row["proportion"], reverse=True)
+    return rows[:top_k]

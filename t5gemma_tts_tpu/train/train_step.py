@@ -77,11 +77,17 @@ def _loss_fn(params, cfg: VoiceConfig, micro_batch) -> Tuple[jnp.ndarray, Any]:
     return loss, out
 
 
-def make_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig):
+def make_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig,
+                    opt_shardings=None):
     """Returns a jittable fn(state, batch, lr) -> (state, metrics).
 
     ``batch`` leaves have shape [n_micro, per_micro, ...]; the scan
     accumulates token-weighted grads across the micro axis.
+
+    ``opt_shardings`` (parallel.opt_state_shardings) pins the updated
+    optimizer state's placement INSIDE the compiled program — ZeRO-1's
+    dp-sharded moments stay dp-sharded across steps instead of being
+    re-placed at GSPMD's discretion.
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -135,6 +141,8 @@ def make_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig):
         new_opt = jax.tree_util.tree_map(
             lambda n, o: jnp.where(finite, n, o), new_opt, state.opt
         )
+        if opt_shardings is not None:
+            new_opt = jax.lax.with_sharding_constraint(new_opt, opt_shardings)
 
         metrics = StepMetrics(
             loss=acc["loss_sum"] / ntok,
@@ -176,7 +184,7 @@ def make_eval_step(cfg: VoiceConfig):
 
 
 def make_lora_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig,
-                         lcfg):
+                         lcfg, opt_shardings=None):
     """LoRA fine-tune step: optimizer over adapters only; base frozen
     (reference models/t5gemma.py:543-599)."""
     from . import lora as lora_mod
@@ -193,7 +201,7 @@ def make_lora_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig,
             ), out
 
         def micro(carry, mb):
-            acc_grads, loss_sum, ntok_sum = carry
+            acc_grads, acc = carry
             (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 adapters, mb
             )
@@ -201,27 +209,66 @@ def make_lora_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig,
             acc_grads = jax.tree_util.tree_map(
                 lambda a, g: a + g.astype(jnp.float32) * ntok, acc_grads, grads
             )
-            return (acc_grads, loss_sum + out.loss, ntok_sum + ntok), None
+            acc = {
+                "loss_sum": acc["loss_sum"] + out.loss,
+                "ce_sum": acc["ce_sum"] + out.mean_ce * ntok,
+                "top10": acc["top10"] + out.top10acc,
+                "ntok": acc["ntok"] + ntok,
+            }
+            return (acc_grads, acc), None
 
         zeros = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), adapters
         )
-        (grads, loss_sum, ntok), _ = jax.lax.scan(
-            micro, (zeros, jnp.float32(0), jnp.float32(0)), batch
-        )
-        ntok = jnp.maximum(ntok, 1.0)
+        zero_acc = {
+            "loss_sum": jnp.float32(0), "ce_sum": jnp.float32(0),
+            "top10": jnp.int32(0), "ntok": jnp.float32(0),
+        }
+        (grads, acc), _ = jax.lax.scan(micro, (zeros, zero_acc), batch)
+        ntok = jnp.maximum(acc["ntok"], 1.0)
         grads = jax.tree_util.tree_map(lambda g: g / ntok, grads)
-        new_adapters, new_opt = opt_update(grads, opt_state, adapters, lr, ocfg)
-        return new_adapters, new_opt, loss_sum / ntok
+
+        gsq = sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))
+        grad_norm = jnp.sqrt(gsq)
+        finite = jnp.isfinite(grad_norm)
+        # NaN guard identical to the full path: the reference skips NaN
+        # micro-batches for LoRA runs too (reference steps/trainer.py:314-327)
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, 0.0), grads
+        )
+        new_adapters, new_opt = opt_update(
+            safe_grads, opt_state, adapters, lr, ocfg
+        )
+        new_adapters = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new_adapters, adapters
+        )
+        new_opt = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new_opt, opt_state
+        )
+        if opt_shardings is not None:
+            new_opt = jax.lax.with_sharding_constraint(new_opt, opt_shardings)
+        metrics = StepMetrics(
+            loss=acc["loss_sum"] / ntok,
+            mean_ce=acc["ce_sum"] / ntok,
+            perplexity=jnp.exp(acc["ce_sum"] / ntok),
+            top10acc=acc["top10"].astype(jnp.float32) / ntok,
+            ntokens=acc["ntok"],
+            grad_norm=grad_norm,
+            nan_step=(~finite).astype(jnp.int32),
+            lr=lr,
+        )
+        return new_adapters, new_opt, metrics
 
     return train_step
 
 
 def compile_train_step(cfg: VoiceConfig, ocfg: optim.ScaledAdamConfig,
-                       donate: bool = True):
+                       donate: bool = True, opt_shardings=None):
     """jit the train step. Sharding is carried by the inputs: place params
     with parallel.shard_params and batches with parallel.shard_batch (on the
     [n_micro, B, ...] batch the data axis is dim 1); jit propagates those
-    shardings through the whole program and inserts the ICI collectives."""
-    step_fn = make_train_step(cfg, ocfg)
+    shardings through the whole program and inserts the ICI collectives.
+    ``opt_shardings`` additionally pins the ZeRO-1 moment placement (see
+    make_train_step)."""
+    step_fn = make_train_step(cfg, ocfg, opt_shardings=opt_shardings)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

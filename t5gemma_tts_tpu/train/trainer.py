@@ -68,12 +68,11 @@ class TrainerConfig:
     text_pad_token: int = 0
     text_max_length: int = 1000
     # ZeRO-1 optimizer-state sharding over the dp axis (parallel.
-    # shard_opt_state). Opt-in: on the virtual CPU mesh, orbax's threaded
-    # checkpoint save can interleave the gather programs of sharded moment
-    # leaves with in-flight step collectives and deadlock the in-process
-    # communicator; on real multi-chip ICI this is the memory saver for
-    # large fine-tunes.
-    zero_opt_sharding: bool = False
+    # shard_opt_state + the with_sharding_constraint pin inside the step).
+    # Default ON under a mesh: checkpoint saves gather leaves one at a time
+    # after retiring in-flight programs (checkpoint._fetch_host), which
+    # removed the round-2 save deadlock on the in-process CPU communicator.
+    zero_opt_sharding: bool = True
     # validation generation diagnostics (reference trainer.py:668-890)
     inference_every_n_steps: int = 3000
     # LoRA fine-tuning (reference config.py:99-108)
@@ -134,39 +133,41 @@ class Trainer:
                 jax.random.PRNGKey(tcfg.seed + 1), params, self.lcfg
             )
             self.state = train_step.init_state(adapters, self.ocfg)
+            opt_shardings = None
             if mesh is not None and tcfg.zero_opt_sharding:
                 from .. import parallel as par
 
                 self.state = self.state._replace(opt=par.shard_opt_state(
                     self.state.opt, adapters, mesh))
+                opt_shardings = par.opt_state_shardings(
+                    self.state.opt, adapters, mesh)
             lora_step = jax.jit(
-                train_step.make_lora_train_step(cfg, self.ocfg, self.lcfg)
+                train_step.make_lora_train_step(
+                    cfg, self.ocfg, self.lcfg, opt_shardings=opt_shardings)
             )
 
             def step_fn(state, batch, lr):
-                new_ads, new_opt, loss = lora_step(
+                new_ads, new_opt, metrics = lora_step(
                     state.params, state.opt, self.base_params, batch, lr
-                )
-                z = jnp.float32(0)
-                metrics = train_step.StepMetrics(
-                    loss=loss, mean_ce=loss, perplexity=jnp.exp(loss),
-                    top10acc=z, ntokens=z, grad_norm=z,
-                    nan_step=jnp.int32(0), lr=lr,
                 )
                 return train_step.TrainState(
                     params=new_ads, opt=new_opt, step=state.step + 1,
-                    nan_skips=state.nan_skips,
+                    nan_skips=state.nan_skips + metrics.nan_step,
                 ), metrics
 
             self._step_fn = step_fn
         else:
             self.state = train_step.init_state(params, self.ocfg)
+            opt_shardings = None
             if mesh is not None and tcfg.zero_opt_sharding:
                 from .. import parallel as par
 
                 self.state = self.state._replace(opt=par.shard_opt_state(
                     self.state.opt, params, mesh))
-            self._step_fn = train_step.compile_train_step(cfg, self.ocfg)
+                opt_shardings = par.opt_state_shardings(
+                    self.state.opt, params, mesh)
+            self._step_fn = train_step.compile_train_step(
+                cfg, self.ocfg, opt_shardings=opt_shardings)
         self._eval_fn = jax.jit(train_step.make_eval_step(cfg))
 
         dp = mesh.devices.shape[0] if mesh is not None else 1
@@ -197,6 +198,18 @@ class Trainer:
         }
         if ckpt.has_bundle(tcfg.exp_dir):
             self.state, progress = ckpt.restore_bundle(tcfg.exp_dir, self.state)
+            if mesh is not None:
+                # orbax restores host arrays; re-place params on their mesh
+                # shardings and moments on the ZeRO-1 specs
+                from .. import parallel as par
+
+                if self.lcfg is None:  # adapters stay replicated under LoRA
+                    self.state = self.state._replace(
+                        params=par.shard_params(self.state.params, mesh))
+                if tcfg.zero_opt_sharding:
+                    self.state = self.state._replace(
+                        opt=par.shard_opt_state(
+                            self.state.opt, self.state.params, mesh))
             self.progress.update(progress)
             log.info("resumed at step %d", self.progress["step"])
 
@@ -273,6 +286,9 @@ class Trainer:
 
                 self.progress["step"] = step + 1
                 self.progress["cur_step"] += 1
+                if int(metrics.nan_step):
+                    log.warning("step %d skipped (non-finite gradients)", step)
+                    self._log_dominant_params(batch)
                 running_loss = loss if running_loss is None else (
                     0.98 * running_loss + 0.02 * loss
                 )
@@ -313,6 +329,35 @@ class Trainer:
 
         ckpt.save_bundle(t.exp_dir, self.state, self.progress)
         return dict(self.progress)
+
+    def _log_dominant_params(self, batch) -> None:
+        """Name the tensors dominating the (rms-scaled) gradient norm when a
+        step misbehaves (reference steps/optim.py:445-508's observability,
+        surfaced at the trainer level since the jitted step cannot log)."""
+        if not isinstance(self.state.opt, optim.ScaledAdamState):
+            return
+        try:
+            mb = jax.tree_util.tree_map(lambda x: x[0], batch)
+            if self.lcfg is not None:
+                from . import lora
+
+                def loss_fn(ads):
+                    eff = lora.wrap(self.base_params, ads, self.lcfg)
+                    return voice.forward(eff, self.cfg, mb).loss
+            else:
+                def loss_fn(p):
+                    return voice.forward(p, self.cfg, mb).loss
+
+            grads = jax.grad(loss_fn)(self.state.params)
+            for row in optim.dominant_parameter_report(
+                    grads, self.state.opt, self.state.params):
+                log.warning(
+                    "dominant parameter %s: proportion %.2f of tot_sumsq "
+                    "(sumsq %.3e, grad_sumsq %.3e, rms_sq %.3e)",
+                    row["name"], row["proportion"], row["sumsq"],
+                    row["grad_sumsq"], row["rms_sq"])
+        except Exception:  # diagnostics must never kill training
+            log.exception("dominant-parameter diagnostics failed")
 
     # ------------------------------------------------------------------
 

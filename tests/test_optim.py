@@ -156,3 +156,28 @@ def test_eve_parity_with_reference():
         np.testing.assert_allclose(np.asarray(jparams[k]),
                                    tparams[k].detach().numpy(),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_dominant_parameter_report_names_culprit():
+    """The diagnostic must rank the tensor with the (rms-scaled) dominant
+    gradient first (reference steps/optim.py:445-508 logs the same)."""
+    import jax
+    import jax.numpy as jnp
+    from t5gemma_tts_tpu.train import optim
+
+    params = {
+        "a": jnp.ones((4, 8)) * 0.1,
+        "b": jnp.ones((4, 8)) * 0.1,
+        "c": jnp.ones((2,)) * 0.1,
+    }
+    cfg = optim.ScaledAdamConfig()
+    state = optim.init(params, cfg)
+    grads = {
+        "a": jnp.ones((4, 8)) * 1e-3,
+        "b": jnp.ones((4, 8)) * 10.0,   # dominant
+        "c": jnp.ones((2,)) * 1e-3,
+    }
+    report = optim.dominant_parameter_report(grads, state, params, top_k=3)
+    assert report[0]["name"].strip("[]'\"") == "b"
+    assert report[0]["proportion"] > 0.99
+    assert abs(sum(r["proportion"] for r in report) - 1.0) < 1e-6
