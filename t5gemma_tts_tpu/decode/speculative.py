@@ -17,7 +17,13 @@ the multi-token-prediction + speculative-verification recipe for codec TTS
   Caveat: on TPU bf16 the (k+1)-token matmuls can differ from the 1-token
   pass in the last ulp; a near-tie crossing a top-k/argmax boundary then
   yields a different — equally valid — sample (bench.py measures this as
-  trace agreement rather than asserting identity).
+  trace agreement rather than asserting identity). A second TPU-only
+  divergence source: the sequential paged engine defaults to the FUSED
+  attention kernel (T5G_FUSED_ATTN=2) while the verify pass uses the
+  unfused paged_flash_parts + XLA merge chain — different reduction
+  orders, same last-ulp effect. To isolate it, compare traces with
+  T5G_FUSED_ATTN=0 so both loops run the unfused kernels (the CPU
+  array-equality tests already run in that regime).
 - **Scalar advance.** All rows advance by the minimum accepted count across
   active rows, keeping the engine's scalar-step rng schedule; targets drawn
   beyond that are discarded and re-drawn identically next pass. Speculation

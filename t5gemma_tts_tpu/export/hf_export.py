@@ -121,6 +121,62 @@ def export_hf(params: Any, cfg: VoiceConfig, out_dir: str,
     return out_dir
 
 
+def export_peft_adapter(adapters: Any, lcfg, out_dir: str,
+                        base_model_name: str = "") -> str:
+    """Write a PEFT-format adapter directory (adapter_model.safetensors +
+    adapter_config.json) from this framework's adapter pytree, so users can
+    ship adapters instead of merged checkpoints (reference:
+    scripts/export_t5gemma_voice_hf_lora.py:105-108 saves the peft adapter
+    via backbone.save_pretrained).
+
+    Key layout matches what peft writes for the exported
+    trust_remote_code model (templates/modeling_t5gemma_voice.py module
+    names): ``base_model.model.model.{encoder|decoder}.layers.{i}.
+    {self_attn|cross_attn|mlp}.{t}_proj.lora_{A|B}.weight`` with torch
+    shapes A=[r, in], B=[out, r]; peft applies the alpha/r scale at load,
+    identically to train/lora.py's wrap/merge."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd = {}
+    for side in ("encoder", "decoder"):
+        tree = (adapters or {}).get(side)
+        layer_tree = (tree or {}).get("layers") if isinstance(tree, dict) else None
+        if not layer_tree:
+            continue
+        for mod in ("self_attn", "cross_attn", "mlp"):
+            for tgt, ad in (layer_tree.get(mod) or {}).items():
+                if ad is None:
+                    continue
+                a, b = np.asarray(ad["a"], np.float32), np.asarray(
+                    ad["b"], np.float32)
+                for i in range(a.shape[0]):
+                    base = (f"base_model.model.model.{side}.layers.{i}."
+                            f"{mod}.{tgt}_proj")
+                    sd[base + ".lora_A.weight"] = np.ascontiguousarray(a[i].T)
+                    sd[base + ".lora_B.weight"] = np.ascontiguousarray(b[i].T)
+    if not sd:
+        raise ValueError("adapter tree contains no adapters to export")
+    save_file(sd, os.path.join(out_dir, "adapter_model.safetensors"))
+    config = {
+        "peft_type": "LORA",
+        "base_model_name_or_path": base_model_name,
+        "task_type": None,
+        "inference_mode": True,
+        "r": lcfg.r,
+        "lora_alpha": lcfg.alpha,
+        "lora_dropout": 0.05,
+        "bias": "none",
+        "fan_in_fan_out": False,
+        "target_modules": sorted({t + "_proj" for t in lcfg.targets}),
+        "modules_to_save": None,
+    }
+    with open(os.path.join(out_dir, "adapter_config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    return out_dir
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--bundle", required=True, help="training exp_dir")
@@ -132,6 +188,9 @@ def main(argv=None):
                          "scripts/export_t5gemma_voice_hf_lora.py)")
     ap.add_argument("--lora_r", type=int, default=16)
     ap.add_argument("--lora_alpha", type=int, default=32)
+    ap.add_argument("--save_adapter_dir", default=None,
+                    help="also write a PEFT-format adapter directory "
+                         "(reference --save_adapter_dir)")
     args = ap.parse_args(argv)
 
     from ..inference.loading import load_bundle_dir
@@ -144,6 +203,9 @@ def main(argv=None):
 
         adapters = ocp.PyTreeCheckpointer().restore(args.lora_bundle)
         lcfg = lora.LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+        if args.save_adapter_dir:
+            export_peft_adapter(adapters, lcfg, args.save_adapter_dir)
+            print(f"saved PEFT adapter to {args.save_adapter_dir}")
         params = lora.merge(params, adapters, lcfg)
         print(f"merged LoRA adapters from {args.lora_bundle}")
     export_hf(params, cfg, args.out, dtype=args.dtype)

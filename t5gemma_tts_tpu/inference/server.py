@@ -24,7 +24,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -81,6 +81,11 @@ class ContinuousServer:
         self._admitted = 0
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # Vocoder decode of finished requests runs on this pool, NOT the
+        # scheduler thread: one finished request must not stall token
+        # generation for every resident slot for the full vocoder latency.
+        self._finisher = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="ContinuousServer-finish")
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -96,6 +101,7 @@ class ContinuousServer:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        self._finisher.shutdown(wait=True)
 
     # ------------------------------------------------------------------
 
@@ -139,10 +145,16 @@ class ContinuousServer:
         return True
 
     def _finish(self, slot: int, gen_tokens) -> None:
-        import numpy as np
-
+        """Free the slot immediately; hand audio decoding to the finisher
+        pool so the segment loop keeps generating tokens."""
         fut, planned = self._slot_futures[slot]
         self._slot_futures[slot] = None
+        self._finisher.submit(self._finish_work, slot, gen_tokens, fut,
+                              planned)
+
+    def _finish_work(self, slot: int, gen_tokens, fut, planned) -> None:
+        import numpy as np
+
         try:
             cfg = self.pipeline.cfg
             strip = {cfg.special.y_sep, cfg.eog_inference}
@@ -224,14 +236,23 @@ class BatchingServer:
         decode_audio: bool = True,
         warmup: bool = False,
         group_by_bucket: bool = True,
+        warmup_batch_sizes: Optional[tuple] = None,
+        warmup_text_buckets: tuple = (64,),
+        warmup_prompt_buckets: tuple = (64,),
+        warmup_frame_buckets: tuple = (256, 512),
     ):
         if warmup:
-            # front-load decode-program compiles for the common buckets so
-            # the first real request is not a cold compile (the persistent
-            # cache makes this near-free on restarts)
-            pipeline.warmup(batch_sizes=(1, max_batch),
-                            text_buckets=(64,), prompt_buckets=(64,),
-                            frame_buckets=(512,), dcfg=dcfg)
+            # front-load decode-program compiles for the CONFIGURED bucket
+            # grid so the first real request in any warmed shape is not a
+            # cold compile (the persistent cache makes this near-free on
+            # restarts). Shapes outside the grid still pay a cold compile on
+            # first arrival — widen the *_buckets args to match expected
+            # traffic.
+            pipeline.warmup(
+                batch_sizes=warmup_batch_sizes or (1, max_batch),
+                text_buckets=warmup_text_buckets,
+                prompt_buckets=warmup_prompt_buckets,
+                frame_buckets=warmup_frame_buckets, dcfg=dcfg)
         self.pipeline = pipeline
         self.dcfg = dcfg or DecodeConfig()
         self.max_batch = max_batch

@@ -170,3 +170,47 @@ def test_shim_forward_padded_batch_matches_jax(export_dir):
         n = int(y_lens[i]) + 1
         np.testing.assert_allclose(logits_t[i, :n], logits_j[i, :n],
                                    rtol=5e-4, atol=5e-4, err_msg=f"row {i}")
+
+
+def test_peft_adapter_export_roundtrip(export_dir, tmp_path):
+    """export_peft_adapter writes a directory that REAL peft can load onto
+    the exported trust_remote_code model; peft's merge_and_unload must then
+    equal this framework's lora.merge weight-for-weight (reference:
+    scripts/export_t5gemma_voice_hf_lora.py:105-111 saves the adapter and
+    merges with the same semantics)."""
+    torch = pytest.importorskip("torch")
+    peft = pytest.importorskip("peft")
+    from transformers import AutoModelForSeq2SeqLM
+
+    from t5gemma_tts_tpu.models import convert
+    from t5gemma_tts_tpu.train import lora
+
+    out, params, cfg = export_dir
+    lcfg = lora.LoraConfig(r=4, alpha=8)
+    ads = lora.init_adapters(jax.random.PRNGKey(7), params, lcfg)
+    # non-zero B so the adapter actually perturbs every target weight
+    ads = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if hasattr(x, "ndim") else x, ads)
+
+    adapter_dir = str(tmp_path / "adapter")
+    hf_export.export_peft_adapter(ads, lcfg, adapter_dir)
+    assert os.path.isfile(os.path.join(adapter_dir,
+                                       "adapter_model.safetensors"))
+    assert os.path.isfile(os.path.join(adapter_dir, "adapter_config.json"))
+
+    base = AutoModelForSeq2SeqLM.from_pretrained(
+        out, trust_remote_code=True, dtype=torch.float32)
+    pm = peft.PeftModel.from_pretrained(base, adapter_dir)
+    merged_torch = pm.merge_and_unload().state_dict()
+
+    merged_jax = lora.merge(params, ads, lcfg)
+    want = convert.params_to_torch_state_dict(merged_jax)
+    checked = 0
+    for key in want:
+        if "_proj.weight" not in key:
+            continue
+        got = merged_torch[key].detach().numpy()
+        np.testing.assert_allclose(
+            got, want[key], rtol=2e-5, atol=2e-6, err_msg=key)
+        checked += 1
+    assert checked >= 7 * 2  # all 7 targets across encoder+decoder layers

@@ -24,7 +24,9 @@ def main():
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--frames", type=int, default=384)
     ap.add_argument("--steps", type=int, default=64, help="steps per segment")
-    ap.add_argument("--int8", action="store_true", default=True)
+    ap.add_argument("--int8", dest="int8", action="store_true", default=True)
+    ap.add_argument("--no-int8", dest="int8", action="store_false",
+                    help="bf16 decoder weights (default: int8 on)")
     args = ap.parse_args()
 
     import jax
