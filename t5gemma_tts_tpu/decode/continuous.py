@@ -15,9 +15,15 @@ vLLM-style serving shape, built TPU-natively:
   row's ABSOLUTE step (vmapped over rows), so a request's token stream is
   bit-identical no matter when it joined or what shares the batch —
   batch-position independence is pinned by tests.
-- **Dense KV cache.** Rows write at their own ``current_length``
-  (per-row dynamic slices) — the step-indexed paged layout assumes a
-  batch-synchronized clock, so continuous mode uses the dense cache.
+- **Per-row-clock PAGED cache (default on TPU).** The windowed engine's
+  paged identity-slab cache generalizes to per-row clocks: each row's
+  pending K/V block scatters at its OWN slot and the flash kernels read
+  each row's own generation length (models/t5gemma.py paged_decode_step
+  ``gen_lengths``/``flush_positions``). This closes the continuous-vs-
+  windowed throughput gap the dense fallback used to cost (VERDICT r2
+  next-round #2). ``resolve_cache_mode`` picks: explicit dcfg.kv_cache
+  wins; "auto" = paged on TPU when the buckets fit the sliding window,
+  dense otherwise (the dense path remains for oversized buckets).
 - **Admission = batch-1 prefill + row scatter.** engine.prefill runs on
   the new request alone (same text/prompt/frame buckets as the resident
   state) and its row is scattered into the slot: one compiled admit
@@ -71,15 +77,53 @@ def _raw_key(rng: jax.Array) -> jnp.ndarray:
     return jnp.asarray(rng, jnp.uint32)
 
 
+def resolve_cache_mode(cfg: VoiceConfig, dcfg: DecodeConfig,
+                       prompt_len: int) -> str:
+    """Continuous-mode cache choice: explicit dcfg.kv_cache wins; "auto" is
+    paged on TPU when the buckets fit the sliding window, dense otherwise."""
+    dims = cfg.backbone.decoder
+    total = (t5gemma._pad_to(prompt_len + 1, t5gemma.PAGE_SIZE)
+             + t5gemma._pad_to(dcfg.max_frames, t5gemma.PAGE_SIZE))
+    fits = total <= dims.sliding_window
+    mode = dcfg.kv_cache
+    if mode in ("paged", "paged_f8", "paged_i8"):
+        if not fits:
+            raise ValueError(
+                f"continuous kv_cache={mode!r} needs prompt+gen ({total}) "
+                f"<= sliding_window ({dims.sliding_window}); use 'dense'")
+        return mode
+    if mode == "auto" and jax.default_backend() == "tpu" and fits:
+        return "paged"
+    return "dense"
+
+
 def init_slots(cfg: VoiceConfig, dcfg: DecodeConfig, batch: int,
                text_len: int, prompt_len: int) -> SlotState:
     """Empty resident state for the given bucket shapes."""
+    from ..ops import paged_attn
+
     dims = cfg.backbone.decoder
     t_max = prompt_len + 1 + dcfg.max_frames
     compute_dtype = jnp.dtype(cfg.dtype)
+    mode = resolve_cache_mode(cfg, dcfg, prompt_len)
+    if mode != "dense":
+        store = paged_attn.KV_STORE_DTYPES[
+            {"paged_f8": "f8", "paged_i8": "i8"}.get(mode, "bf16")]
+        cache = t5gemma.init_paged_cache(
+            dims, batch, prompt_len + 1, dcfg.max_frames, text_len,
+            store_dtype=store)
+        return _empty_slots(cfg, dcfg, batch, cache, compute_dtype)
+    return _empty_slots(
+        cfg, dcfg, batch,
+        t5gemma.init_cache(dims, batch, t_max, text_len,
+                           dtype=compute_dtype),
+        compute_dtype)
+
+
+def _empty_slots(cfg, dcfg, batch, cache, compute_dtype) -> SlotState:
+    dims = cfg.backbone.decoder
     return SlotState(
-        cache=t5gemma.init_cache(dims, batch, t_max, text_len,
-                                 dtype=compute_dtype),
+        cache=cache,
         last_hidden=jnp.zeros((batch, 1, dims.hidden_size), compute_dtype),
         tokens=jnp.full((batch, dcfg.max_frames), cfg.special.pad, jnp.int32),
         steps=jnp.zeros((batch,), jnp.int32),
@@ -110,7 +154,15 @@ def admit(
     rng: jax.Array,                 # this request's own key
 ) -> SlotState:
     """Prefill ONE request and install it into ``slot``."""
-    dcfg = dataclasses.replace(dcfg, kv_cache="dense")
+    paged = isinstance(state.cache, t5gemma.PagedDecoderCache)
+    if paged:
+        kv_mode = {jnp.dtype(jnp.int8): "paged_i8"}.get(
+            jnp.dtype(state.cache.gen_k.dtype), "paged")
+        if state.cache.gen_k.dtype == jnp.float8_e4m3fn:
+            kv_mode = "paged_f8"
+        dcfg = dataclasses.replace(dcfg, kv_cache=kv_mode)
+    else:
+        dcfg = dataclasses.replace(dcfg, kv_cache="dense")
     st1 = engine.prefill(params, cfg, dcfg, x[None], x_len[None],
                          prompt[None], prompt_len[None], target_total[None])
 
@@ -121,12 +173,44 @@ def admit(
         return jax.lax.dynamic_update_slice(buf, row.astype(buf.dtype),
                                             tuple(start))
 
-    cache = t5gemma.DecoderCache(
-        self_k=put_row(state.cache.self_k, st1.cache.self_k, 1),
-        self_v=put_row(state.cache.self_v, st1.cache.self_v, 1),
-        cross_k=put_row(state.cache.cross_k, st1.cache.cross_k, 1),
-        cross_v=put_row(state.cache.cross_v, st1.cache.cross_v, 1),
-    )
+    if paged:
+        dims = cfg.backbone.decoder
+        n_layers = dims.num_layers
+        batch = state.tokens.shape[0]
+        rows = jnp.arange(n_layers) * batch + slot
+
+        def put_slab(res, one):
+            # res [Hkv, L*B, ...], one [Hkv, L*1, ...] (batch-1 prefill)
+            if res is None:
+                return None
+            return res.at[:, rows].set(one.astype(res.dtype))
+
+        c1 = st1.cache
+        cache = state.cache._replace(
+            prompt_k=put_slab(state.cache.prompt_k, c1.prompt_k),
+            prompt_v=put_slab(state.cache.prompt_v, c1.prompt_v),
+            cross_k=put_slab(state.cache.cross_k, c1.cross_k),
+            cross_v=put_slab(state.cache.cross_v, c1.cross_v),
+            prompt_k_scale=put_slab(state.cache.prompt_k_scale,
+                                    c1.prompt_k_scale),
+            prompt_v_scale=put_slab(state.cache.prompt_v_scale,
+                                    c1.prompt_v_scale),
+            cross_k_scale=put_slab(state.cache.cross_k_scale,
+                                   c1.cross_k_scale),
+            cross_v_scale=put_slab(state.cache.cross_v_scale,
+                                   c1.cross_v_scale),
+            pending_k=state.cache.pending_k.at[:, slot].set(
+                c1.pending_k[:, 0].astype(state.cache.pending_k.dtype)),
+            pending_v=state.cache.pending_v.at[:, slot].set(
+                c1.pending_v[:, 0].astype(state.cache.pending_v.dtype)),
+        )
+    else:
+        cache = t5gemma.DecoderCache(
+            self_k=put_row(state.cache.self_k, st1.cache.self_k, 1),
+            self_v=put_row(state.cache.self_v, st1.cache.self_v, 1),
+            cross_k=put_row(state.cache.cross_k, st1.cache.cross_k, 1),
+            cross_v=put_row(state.cache.cross_v, st1.cache.cross_v, 1),
+        )
 
     def set1(vec, val, dtype=None):
         return vec.at[slot].set(val.astype(dtype or vec.dtype))
@@ -168,8 +252,9 @@ class SegmentFns(NamedTuple):
 
 
 def make_fns(cfg: VoiceConfig, dcfg: DecodeConfig) -> SegmentFns:
-    """Jitted admit + segment programs (compiled per bucket config)."""
-    dcfg = dataclasses.replace(dcfg, kv_cache="dense")
+    """Jitted admit + segment programs (compiled per bucket config). The
+    cache flavor (per-row-clock paged vs dense) is carried by the state the
+    caller built with init_slots; body branches on it at trace time."""
     s = cfg.special
     eog = cfg.eog_inference
     dims = cfg.backbone.decoder
@@ -205,24 +290,40 @@ def make_fns(cfg: VoiceConfig, dcfg: DecodeConfig) -> SegmentFns:
                 st.current_length, est_total, cfg.progress_scale)[:, None]
         else:
             pos = st.current_length.astype(jnp.float32)[:, None]
-        t_max = st.cache.self_k.shape[3]
-        t_enc = st.cache.cross_k.shape[3]
-        step_full = mask_ops.step_self_bias(st.current_length, t_max,
-                                            window=None)
-        step_slid = mask_ops.step_self_bias(
-            st.current_length, t_max, window=dims.sliding_window)
-        hidden, cache = t5gemma.decoder_forward(
-            params["decoder"], dims,
-            inputs_embeds=emb,
-            self_full_bias=step_full,
-            self_sliding_bias=step_slid,
-            cross_bias=mask_ops.cross_bias(st.x_lens, 1, t_enc),
-            position_ids=pos,
-            pm_decoder_positions=pos if cfg.use_pm_rope else None,
-            cross_k=st.cache.cross_k, cross_v=st.cache.cross_v,
-            cache=st.cache,
-            cache_pos=st.current_length,
-        )
+        if isinstance(st.cache, t5gemma.PagedDecoderCache):
+            # per-row-clock paged step: each row flushes at its own slot
+            # and attends over its own generation length
+            hidden, cache = t5gemma.paged_decode_step(
+                params["decoder"], dims,
+                inputs_embeds=emb,
+                position_ids=pos,
+                pm_decoder_positions=pos if cfg.use_pm_rope else None,
+                cache=st.cache,
+                step=jnp.int32(0),  # unused with per-row clocks
+                prompt_lengths=st.prompt_lens + 1,
+                enc_lengths=st.x_lens,
+                gen_lengths=st.steps,
+                flush_positions=jnp.maximum(st.steps - 1, 0),
+            )
+        else:
+            t_max = st.cache.self_k.shape[3]
+            t_enc = st.cache.cross_k.shape[3]
+            step_full = mask_ops.step_self_bias(st.current_length, t_max,
+                                                window=None)
+            step_slid = mask_ops.step_self_bias(
+                st.current_length, t_max, window=dims.sliding_window)
+            hidden, cache = t5gemma.decoder_forward(
+                params["decoder"], dims,
+                inputs_embeds=emb,
+                self_full_bias=step_full,
+                self_sliding_bias=step_slid,
+                cross_bias=mask_ops.cross_bias(st.x_lens, 1, t_enc),
+                position_ids=pos,
+                pm_decoder_positions=pos if cfg.use_pm_rope else None,
+                cross_k=st.cache.cross_k, cross_v=st.cache.cross_v,
+                cache=st.cache,
+                cache_pos=st.current_length,
+            )
         return st._replace(
             cache=cache,
             last_hidden=hidden,

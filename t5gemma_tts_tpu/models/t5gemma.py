@@ -522,6 +522,12 @@ def _fused_attn_mode(dims: "ModuleDims") -> int:
     import os
 
     mode = int(os.environ.get("T5G_FUSED_ATTN", "2"))
+    # "3": per-layer megakernel (ops/megakernel.py) — int8 weights +
+    # both attentions + norms in ONE pallas_call per layer; falls back
+    # when megakernel.supports() is false for the config. Allowed off-TPU
+    # (interpreter mode) so the CPU suite tests the identical kernel.
+    if mode == 3:
+        return 3
     if mode == 0 or jax.default_backend() != "tpu":
         return 0
     if dims.head_dim % 128 != 0:
@@ -721,6 +727,8 @@ def paged_decode_step(
     prompt_lengths: jnp.ndarray,      # [B] valid prompt tokens (incl. BOS)
     enc_lengths: jnp.ndarray,         # [B] encoder valid lengths
     unroll: int = 1,                  # layer-scan unroll factor
+    gen_lengths: Optional[jnp.ndarray] = None,     # [B] per-row clocks
+    flush_positions: Optional[jnp.ndarray] = None,  # [B] per-row flush slot
 ) -> Tuple[jnp.ndarray, PagedDecoderCache]:
     """One AR decode step over the paged cache (Pallas flash attention).
 
@@ -729,6 +737,14 @@ def paged_decode_step(
     buffer fits inside the sliding window. Rows that have already stopped
     keep computing (their outputs are ignored by the engine); their slots
     beyond the stopping step hold garbage that only they can see.
+
+    PER-ROW CLOCKS (continuous batching): pass ``gen_lengths`` [B] (each
+    row's own generated count) and ``flush_positions`` [B] (each row's slot
+    for the pending K/V block, normally ``max(gen_lengths - 1, 0)``); the
+    uniform ``step`` is then ignored. The flush becomes a per-row scatter
+    into the identity slabs and the flash kernels read each row's own
+    segment length — this is what lets ContinuousServer run the paged
+    cache instead of the dense one (VERDICT r2 next-round #2).
     """
     from ..ops import fused_attn, paged_attn
 
@@ -765,26 +781,78 @@ def paged_decode_step(
     flush_slot = jnp.maximum(step - 1, 0)
     quant = cache.gen_k.dtype == jnp.int8
     gks = gvs = None
+    rowclock = flush_positions is not None
+    n_layers, hkv_ = dims.num_layers, dims.num_kv_heads
 
     def flush(buf, pending, scale_buf):
         if quant:
             from ..ops.fused_attn import quantize_kv
 
             qv, sc = quantize_kv(pending)                   # [L,B,Hkv,*]
-            block = qv.transpose(2, 0, 1, 3).reshape(
-                dims.num_kv_heads, -1, 1, dims.head_dim)
-            sblock = sc.transpose(2, 0, 1).reshape(
-                dims.num_kv_heads, -1, 1)
-            scale_buf = jax.lax.dynamic_update_slice(
-                scale_buf, sblock, (0, 0, flush_slot))
-        else:
-            block = pending.transpose(2, 0, 1, 3).reshape(
-                dims.num_kv_heads, -1, 1, dims.head_dim).astype(buf.dtype)
+            if rowclock:
+                s5 = scale_buf.reshape(hkv_, n_layers, b, -1)
+                sblock = sc.transpose(2, 0, 1)               # [Hkv, L, B]
+                s5 = s5.at[:, :, jnp.arange(b), flush_positions].set(sblock)
+                scale_buf = s5.reshape(scale_buf.shape)
+            else:
+                sblock = sc.transpose(2, 0, 1).reshape(hkv_, -1, 1)
+                scale_buf = jax.lax.dynamic_update_slice(
+                    scale_buf, sblock, (0, 0, flush_slot))
+            pending = qv
+        if rowclock:
+            # per-row clocks: scatter each row's pending block at its OWN
+            # slot inside the identity slab [Hkv, L, B, T, hd]
+            b5 = buf.reshape(hkv_, n_layers, b, buf.shape[2], buf.shape[3])
+            block = pending.transpose(2, 0, 1, 3).astype(buf.dtype)
+            b5 = b5.at[:, :, jnp.arange(b), flush_positions, :].set(block)
+            return b5.reshape(buf.shape), scale_buf
+        block = pending.transpose(2, 0, 1, 3).reshape(
+            hkv_, -1, 1, dims.head_dim).astype(buf.dtype)
         return (jax.lax.dynamic_update_slice(buf, block, (0, 0, flush_slot, 0)),
                 scale_buf)
 
     gk, gks = flush(cache.gen_k, cache.pending_k, cache.gen_k_scale)
     gv, gvs = flush(cache.gen_v, cache.pending_v, cache.gen_v_scale)
+    if gen_lengths is None:
+        gen_lengths = jnp.broadcast_to(step.astype(jnp.int32), (b,))
+    gen_lengths = gen_lengths.astype(jnp.int32)
+
+    if fused_mode == 3:
+        from ..ops import megakernel as mk
+
+        if not mk.supports(params["layers"], dims, cache):
+            fused_mode = 2 if (jax.default_backend() == "tpu"
+                               and dims.head_dim % 128 == 0
+                               and dims.num_heads % 8 == 0) else 0
+    if fused_mode == 3:
+        # per-layer megakernel: the whole layer (int8 matmuls + rope + both
+        # attentions + norms) is one pallas_call over the dense cache slabs
+        interp3 = jax.default_backend() != "tpu"
+        cos1, sin1 = cos[:, 0], sin[:, 0]
+        if q_cos is not None:
+            qc1, qs1 = q_cos[:, 0], q_sin[:, 0]
+        else:
+            qc1, qs1 = cos1, sin1
+        def body3(carry, li):
+            hout, k_new, v_new = mk.decode_layer(
+                params["layers"], dims, h=carry, cos=cos1, sin=sin1,
+                qcos=qc1, qsin=qs1, li=li,
+                plens=prompt_lengths.astype(jnp.int32), glens=gen_lengths,
+                elens=enc_lengths.astype(jnp.int32),
+                prompt_k=cache.prompt_k, prompt_v=cache.prompt_v,
+                gen_k=gk, gen_v=gv,
+                cross_k=cache.cross_k, cross_v=cache.cross_v,
+                interpret=interp3)
+            return hout, (k_new, v_new)
+
+        h3, (k_new, v_new) = jax.lax.scan(
+            body3, h[:, 0].astype(jnp.float32), layer_ids, unroll=unroll)
+        h3 = rms_norm(h3, params["final_norm"], dims.rms_norm_eps)
+        return h3[:, None, :].astype(h.dtype), cache._replace(
+            gen_k=gk, gen_v=gv, gen_k_scale=gks, gen_v_scale=gvs,
+            pending_k=k_new.astype(jnp.bfloat16),
+            pending_v=v_new.astype(jnp.bfloat16),
+        )
 
     prompt_kp, prompt_vp = _pages_view(cache.prompt_k), _pages_view(cache.prompt_v)
     gen_kp, gen_vp = _pages_view(gk), _pages_view(gv)
@@ -794,7 +862,6 @@ def paged_decode_step(
     gen_ksp, gen_vsp = _scale_pages_view(gks), _scale_pages_view(gvs)
     cross_ksp = _scale_pages_view(cache.cross_k_scale)
     cross_vsp = _scale_pages_view(cache.cross_v_scale)
-    gen_lengths = jnp.broadcast_to(step.astype(jnp.int32), (b,))
     prompt_lengths = prompt_lengths.astype(jnp.int32)
 
     def body(h, xs):

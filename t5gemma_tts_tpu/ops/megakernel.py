@@ -1,0 +1,621 @@
+"""Per-layer decode MEGAKERNEL: int8 weights + attention + norms, one launch.
+
+The AR decode step is HBM-bandwidth-bound (reference hot loop being beaten:
+models/t5gemma.py:1057-1115): every token streams the full decoder through
+the chip. Round-2 measurements put the step at ~10.5 ms (batch 64) / ~4.3 ms
+(batch 1) against a ~5.9 / ~3.0 ms DMA floor — the gap is per-matmul launch
+overhead and pipeline drains between the ~7 kernels each layer dispatches.
+This kernel runs an ENTIRE decoder layer in ONE ``pallas_call``:
+
+  rms_norm -> fused int8 qkv matmul (streamed weight tiles) -> rope ->
+  flash self-attention over the layer's dense K/V slabs (+ in-flight token)
+  -> int8 o-proj -> post-norm residual -> cross-q -> flash cross-attention
+  -> int8 cross-o -> post-norm residual -> GeGLU MLP with gate/up/down
+  weight tiles streamed in one interleaved loop -> post-norm residual.
+
+Design points (pallas_guide.md patterns: double buffering, scalar prefetch):
+
+- **Weight streaming.** Stacked int8 weights stay in HBM (`pl.ANY`); the
+  kernel double-buffers [K, 512] / [512, N] tiles with manual async copies,
+  indexing the layer with a scalar-prefetch ``li`` — the surrounding
+  ``lax.scan`` compiles the kernel ONCE for all layers.
+- **W8A8 everywhere.** Activations are absmax-quantized per row (per tile
+  for the MLP intermediate) to int8; matmuls run on the MXU int8 pipeline
+  with exact int32 accumulation and an f32 rescale epilogue — the same math
+  as ops/quant.py's `_w8a8` paths.
+- **Dense-slab attention.** The windowed engine's "paged" cache is an
+  identity ring layout (models/t5gemma.py:_layer_page_indices): layer li's
+  K/V for row b is the contiguous slab ``buf[:, li*B + b]``. The kernel
+  flash-accumulates over 128-token blocks of the prompt and generation
+  slabs plus the in-flight token per row, with a double-buffered DMA
+  stream whose slot parity carries ACROSS rows (the last block of row b
+  prefetches row b+1's first block), so the pipeline never drains at row
+  boundaries — the same trick as ops/fused_attn.py's batch kernel.
+- **Head-major scratch.** Per-row attention wants q as [Hkv, G, hd]; the
+  matmul produces row-major [B, H*hd]. Q/K/V/attn-out live in [heads, B,
+  hd] scratch so every in-kernel reshape splits/merges LEADING dims only —
+  no lane relayouts (Mosaic restriction).
+- **bf16 K/V only.** int8 KV pages keep the existing two-kernel path.
+
+The kernel runs in interpreter mode off-TPU, so the CPU test suite executes
+the identical code path (tests/test_megakernel.py pins it against the
+unfused layer body and the f32 reference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+WTILE = 512          # weight tile width (matches ops/quant.py N_TILE)
+TBLOCK = 128         # attention time-block (= models/t5gemma.py PAGE_SIZE)
+
+
+def _rms(x32, w32, eps):
+    n = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return n * (1.0 + w32)
+
+
+def _quant_rows(x32):
+    """Per-row absmax int8 quantization (ops/quant.py _quantize_act math)."""
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    return x8, sx
+
+
+def _rot_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+class _Meta(NamedTuple):
+    nqkv: int     # qkv padded out width (multiple of WTILE)
+    cqn: int      # cross-q padded out width (multiple of WTILE)
+    ho: int       # H * hd
+    dp: int       # o/co/down padded out width
+    f: int        # intermediate size
+
+
+def _kernel(
+    # scalar prefetch
+    li_s, plens_s, glens_s, elens_s,
+    # inputs
+    h_ref,                    # [BP, D] f32
+    cos_ref, sin_ref,         # [BP, hd] f32 (self rope)
+    qcos_ref, qsin_ref,       # [BP, hd] f32 (cross-query rope)
+    n0_ref, n1_ref, n2_ref, n3_ref, n4_ref, n5_ref,   # [1, D] f32 norms
+    qkvs_ref, os_ref, cqs_ref, cos_s_ref, gus_ref, dns_ref,  # [1, N] scales
+    qkvw_ref, ow_ref, cqw_ref, cow_ref, guw_ref, dnw_ref,    # ANY int8
+    pk_ref, pv_ref,           # [Hkv, L*B, Wp, hd] bf16 (ANY)
+    gk_ref, gv_ref,           # [Hkv, L*B, Tg, hd]
+    xk_ref, xv_ref,           # [Hkv, L*B, Tx, hd]
+    # outputs
+    hout_ref,                 # [BP, D] f32
+    knew_ref, vnew_ref,       # [Hkv, BP, hd] f32 (head-major; also serves
+                              # as the in-flight k/v the attention reads)
+    # scratch
+    awbuf, bwbuf,             # [2, D, WTILE] int8 (N-tile streams)
+    kwbuf,                    # [2, WTILE, DP] int8 (K-tile streams)
+    qkv_buf,                  # [BP, NQKV] f32
+    attn_buf,                 # [BP, HO] f32
+    acc_buf,                  # [BP, DP] f32
+    qh_buf,                   # [H, BP, hd] f32 (head-major q)
+    ah_buf,                   # [H, BP, hd] f32 (head-major attn out)
+    kbuf, vbuf,               # [2, Hkv, TBLOCK, hd] bf16 (slab blocks)
+    asem, bsem, ksem2,        # weight DMA semaphores (2,)
+    pksem, pvsem,             # slab DMA semaphores (2,)
+    *,
+    meta: _Meta,
+    true_batch: int,          # rows that exist in the cache slabs
+    hidden: int,
+    heads: int,
+    kv_heads: int,
+    head_dim: int,
+    eps: float,
+    soft_cap: Optional[float],
+    q_scale: float,
+):
+    d = hidden
+    hd = head_dim
+    hkv = kv_heads
+    g = heads // kv_heads
+    ho = meta.ho
+    kvh = hkv * hd
+    li = li_s[0]
+    bp = h_ref.shape[0]
+
+    def capped(x):
+        if soft_cap is None:
+            return x
+        return jnp.tanh(x / soft_cap) * soft_cap
+
+    # ---- streamed matmuls ----------------------------------------------
+    def nstream(w_any, s_ref, x8, sx, out_vmem, n_tiles, wbuf, wsem):
+        """out[:, jT:(j+1)T] = (x8 @ w[li, :, jT:(j+1)T]) * sx * scale."""
+        def start(j, slot):
+            pltpu.make_async_copy(
+                w_any.at[li, :, pl.ds(j * WTILE, WTILE)], wbuf.at[slot],
+                wsem.at[slot]).start()
+
+        start(0, 0)
+
+        def body(j, _):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_tiles)
+            def _():
+                start(j + 1, jax.lax.rem(j + 1, 2))
+
+            pltpu.make_async_copy(w_any.at[li, :, pl.ds(0, WTILE)],
+                                  wbuf.at[slot], wsem.at[slot]).wait()
+            acc = jax.lax.dot_general(
+                x8, wbuf[slot], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            sc = s_ref[0, pl.ds(j * WTILE, WTILE)][None, :]
+            out_vmem[:, pl.ds(j * WTILE, WTILE)] = (
+                acc.astype(jnp.float32) * sx * sc)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, body, 0, unroll=False)
+
+    def kstream(w_any, s_ref, x8, sx, k_size):
+        """acc_buf[:] = (x8 @ w[li]) * sx * scale, streaming [ktile, DP]
+        K-tiles; int32 accumulation is exact (one act scale per row).
+        ktile is WTILE for the serving dims; whole-K for tiny test dims."""
+        ktile = WTILE if k_size % WTILE == 0 else k_size
+        n_tiles = k_size // ktile
+
+        def start(t, slot):
+            pltpu.make_async_copy(
+                w_any.at[li, pl.ds(t * ktile, ktile), :],
+                kwbuf.at[slot, pl.ds(0, ktile), :], ksem2.at[slot]).start()
+
+        start(0, 0)
+
+        def body(t, acc32):
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                start(t + 1, jax.lax.rem(t + 1, 2))
+
+            pltpu.make_async_copy(w_any.at[li, pl.ds(0, ktile), :],
+                                  kwbuf.at[slot, pl.ds(0, ktile), :],
+                                  ksem2.at[slot]).wait()
+            xt = jax.lax.dynamic_slice_in_dim(x8, t * ktile, ktile, 1)
+            return acc32 + jax.lax.dot_general(
+                xt, kwbuf[slot, pl.ds(0, ktile), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        acc32 = jax.lax.fori_loop(
+            0, n_tiles, body,
+            jnp.zeros((x8.shape[0], meta.dp), jnp.int32), unroll=False)
+        acc_buf[...] = (acc32.astype(jnp.float32) * sx
+                        * s_ref[0, :][None, :])
+
+    # ---- flash attention over dense cache slabs ------------------------
+    def slab_attention(ak_src, av_src, bk_src, bv_src, alen_of, blen_of,
+                       with_current):
+        """Per-row two-segment flash attention; q from qh_buf, output to
+        ah_buf. The DMA slot parity carries across rows (row b's last
+        block prefetches row b+1's first block)."""
+
+        def counts(b):
+            na = pl.cdiv(alen_of(b), TBLOCK)
+            nb = pl.cdiv(blen_of(b), TBLOCK)
+            return na, nb
+
+        def start_blk(b, i, slot):
+            row = li * true_batch + jnp.minimum(b, true_batch - 1)
+            na, _ = counts(b)
+            in_a = i < na
+            off_a = i * TBLOCK
+            off_b = (i - na) * TBLOCK
+
+            @pl.when(in_a)
+            def _():
+                pltpu.make_async_copy(
+                    ak_src.at[:, row, pl.ds(off_a, TBLOCK), :],
+                    kbuf.at[slot], pksem.at[slot]).start()
+                pltpu.make_async_copy(
+                    av_src.at[:, row, pl.ds(off_a, TBLOCK), :],
+                    vbuf.at[slot], pvsem.at[slot]).start()
+
+            @pl.when(jnp.logical_not(in_a))
+            def _():
+                pltpu.make_async_copy(
+                    bk_src.at[:, row, pl.ds(off_b, TBLOCK), :],
+                    kbuf.at[slot], pksem.at[slot]).start()
+                pltpu.make_async_copy(
+                    bv_src.at[:, row, pl.ds(off_b, TBLOCK), :],
+                    vbuf.at[slot], pvsem.at[slot]).start()
+
+        def nblocks_of(b):
+            na, nb = counts(b)
+            return na + nb
+
+        @pl.when(nblocks_of(0) > 0)
+        def _():
+            start_blk(0, 0, 0)
+
+        def row_body(b, s0):
+            alen = alen_of(b)
+            blen = blen_of(b)
+            na, nb = counts(b)
+            nblocks = na + nb
+            # [H, 1, hd] -> [hkv, g, hd]: leading-dims reshape only
+            qrow = qh_buf[:, pl.ds(b, 1), :].reshape(hkv, g, hd)
+
+            def blk(i, carry):
+                m, l, acc = carry
+                slot = jax.lax.rem(s0 + i, 2)
+                nxt = jax.lax.rem(s0 + i + 1, 2)
+
+                @pl.when(i + 1 < nblocks)
+                def _():
+                    start_blk(b, i + 1, nxt)
+
+                @pl.when(jnp.logical_and(i + 1 == nblocks, b + 1 < bp))
+                def _():
+                    @pl.when(nblocks_of(b + 1) > 0)
+                    def _():
+                        start_blk(b + 1, 0, nxt)
+
+                pltpu.make_async_copy(
+                    ak_src.at[:, 0, pl.ds(0, TBLOCK), :], kbuf.at[slot],
+                    pksem.at[slot]).wait()
+                pltpu.make_async_copy(
+                    av_src.at[:, 0, pl.ds(0, TBLOCK), :], vbuf.at[slot],
+                    pvsem.at[slot]).wait()
+
+                kblk = kbuf[slot].astype(jnp.float32)     # [hkv, ts, hd]
+                in_a = i < na
+                base = jnp.where(in_a, i * TBLOCK, (i - na) * TBLOCK)
+                seglen = jnp.where(in_a, alen, blen)
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (hkv, g, TBLOCK), 2)
+                valid = (base + col) < seglen
+                logits = capped(jax.lax.dot_general(
+                    qrow, kblk, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))  # [hkv, g, ts]
+                logits = jnp.where(valid, logits, _MASK_VALUE)
+                m_new = jnp.maximum(m, jnp.max(logits, -1, keepdims=True))
+                p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+                alpha = jnp.exp(m - m_new)
+                l_new = l * alpha + jnp.sum(p, -1, keepdims=True)
+                acc_new = acc * alpha + jax.lax.dot_general(
+                    p, vbuf[slot].astype(jnp.float32),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                return m_new, l_new, acc_new
+
+            m0 = jnp.full((hkv, g, 1), _MASK_VALUE, jnp.float32)
+            l0 = jnp.zeros((hkv, g, 1), jnp.float32)
+            acc0 = jnp.zeros((hkv, g, hd), jnp.float32)
+            m, l, acc = jax.lax.fori_loop(0, nblocks, blk, (m0, l0, acc0))
+
+            if with_current:
+                ck = knew_ref[:, pl.ds(b, 1), :]          # [hkv, 1, hd]
+                cv = vnew_ref[:, pl.ds(b, 1), :]
+                cur = capped(jnp.sum(qrow * ck, -1, keepdims=True))
+                m_new = jnp.maximum(m, cur)
+                p_c = jnp.exp(cur - m_new)
+                alpha = jnp.exp(m - m_new)
+                l = l * alpha + p_c
+                acc = acc * alpha + p_c * cv
+            out = acc / jnp.where(l > 0.0, l, 1.0)        # [hkv, g, hd]
+            ah_buf[:, pl.ds(b, 1), :] = out.reshape(heads, 1, hd)
+            return jax.lax.rem(s0 + nblocks, 2)
+
+        jax.lax.fori_loop(0, bp, row_body, 0, unroll=False)
+
+    def heads_to_rows(src, n_heads, out_vmem):
+        """[n_heads, BP, hd] scratch -> row-major [BP, n_heads*hd]."""
+        for hh in range(n_heads):
+            out_vmem[:, pl.ds(hh * hd, hd)] = src[hh]
+
+    # ======================= phase 1: self attention =====================
+    h32 = h_ref[...].astype(jnp.float32)
+    hn = _rms(h32, n0_ref[0, :][None, :], eps)
+    x8, sx = _quant_rows(hn)
+    nstream(qkvw_ref, qkvs_ref, x8, sx, qkv_buf, meta.nqkv // WTILE,
+            awbuf, asem)
+
+    cosb = cos_ref[...]
+    sinb = sin_ref[...]
+    for hh in range(heads):
+        qh = qkv_buf[:, pl.ds(hh * hd, hd)]
+        qh = qh * cosb + _rot_half(qh) * sinb
+        qh_buf[pl.ds(hh, 1)] = (qh * jnp.float32(q_scale)).reshape(
+            1, bp, hd)
+    for hh in range(hkv):
+        kh = qkv_buf[:, pl.ds(ho + hh * hd, hd)]
+        kh = kh * cosb + _rot_half(kh) * sinb
+        knew_ref[pl.ds(hh, 1)] = kh.reshape(1, bp, hd)
+        vh = qkv_buf[:, pl.ds(ho + kvh + hh * hd, hd)]
+        vnew_ref[pl.ds(hh, 1)] = vh.reshape(1, bp, hd)
+
+    slab_attention(
+        pk_ref, pv_ref, gk_ref, gv_ref,
+        alen_of=lambda b: jnp.where(b < true_batch, plens_s[b], 0),
+        blen_of=lambda b: jnp.where(b < true_batch, glens_s[b], 0),
+        with_current=True)
+
+    heads_to_rows(ah_buf, heads, attn_buf)
+    a8, sa = _quant_rows(attn_buf[...])
+    kstream(ow_ref, os_ref, a8, sa, ho)
+    h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n1_ref[0, :][None, :], eps)
+
+    # ======================= phase 2: cross attention ====================
+    hn = _rms(h32, n2_ref[0, :][None, :], eps)
+    x8, sx = _quant_rows(hn)
+    nstream(cqw_ref, cqs_ref, x8, sx, qkv_buf, meta.cqn // WTILE,
+            awbuf, asem)
+    qcosb = qcos_ref[...]
+    qsinb = qsin_ref[...]
+    for hh in range(heads):
+        qh = qkv_buf[:, pl.ds(hh * hd, hd)]
+        qh = qh * qcosb + _rot_half(qh) * qsinb
+        qh_buf[pl.ds(hh, 1)] = (qh * jnp.float32(q_scale)).reshape(
+            1, bp, hd)
+
+    slab_attention(
+        xk_ref, xv_ref, xk_ref, xv_ref,
+        alen_of=lambda b: jnp.where(b < true_batch,
+                                    jnp.maximum(elens_s[b], 1), 0),
+        blen_of=lambda b: jnp.int32(0),
+        with_current=False)
+
+    heads_to_rows(ah_buf, heads, attn_buf)
+    a8, sa = _quant_rows(attn_buf[...])
+    kstream(cow_ref, cos_s_ref, a8, sa, ho)
+    h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n3_ref[0, :][None, :], eps)
+
+    # ======================= phase 3: GeGLU MLP ==========================
+    hn = _rms(h32, n4_ref[0, :][None, :], eps)
+    x8, sx = _quant_rows(hn)
+    f = meta.f
+    ftile = WTILE if f % WTILE == 0 else f
+    n_ff = f // ftile
+
+    def gu_start(j, slot):
+        pltpu.make_async_copy(
+            guw_ref.at[li, :, pl.ds(j * ftile, ftile)],
+            awbuf.at[slot, :, pl.ds(0, ftile)], asem.at[slot]).start()
+        pltpu.make_async_copy(
+            guw_ref.at[li, :, pl.ds(f + j * ftile, ftile)],
+            bwbuf.at[slot, :, pl.ds(0, ftile)], bsem.at[slot]).start()
+
+    def dn_start(j, slot):
+        pltpu.make_async_copy(
+            dnw_ref.at[li, pl.ds(j * ftile, ftile), :],
+            kwbuf.at[slot, pl.ds(0, ftile), :], ksem2.at[slot]).start()
+
+    gu_start(0, 0)
+    dn_start(0, 0)
+
+    def ff_body(j, acc):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_ff)
+        def _():
+            nxt = jax.lax.rem(j + 1, 2)
+            gu_start(j + 1, nxt)
+            dn_start(j + 1, nxt)
+
+        pltpu.make_async_copy(guw_ref.at[li, :, pl.ds(0, ftile)],
+                              awbuf.at[slot, :, pl.ds(0, ftile)],
+                              asem.at[slot]).wait()
+        pltpu.make_async_copy(guw_ref.at[li, :, pl.ds(0, ftile)],
+                              bwbuf.at[slot, :, pl.ds(0, ftile)],
+                              bsem.at[slot]).wait()
+        gi = jax.lax.dot_general(
+            x8, awbuf[slot, :, pl.ds(0, ftile)], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        ui = jax.lax.dot_general(
+            x8, bwbuf[slot, :, pl.ds(0, ftile)], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        sg = gus_ref[0, pl.ds(j * ftile, ftile)][None, :]
+        su = gus_ref[0, pl.ds(f + j * ftile, ftile)][None, :]
+        gf = gi.astype(jnp.float32) * sx * sg
+        uf = ui.astype(jnp.float32) * sx * su
+        t = jax.nn.gelu(gf, approximate=True) * uf        # [BP, ftile] f32
+        t8, st = _quant_rows(t)                            # per-tile scales
+        pltpu.make_async_copy(dnw_ref.at[li, pl.ds(0, ftile), :],
+                              kwbuf.at[slot, pl.ds(0, ftile), :],
+                              ksem2.at[slot]).wait()
+        di = jax.lax.dot_general(
+            t8, kwbuf[slot, pl.ds(0, ftile), :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc + di.astype(jnp.float32) * st
+
+    acc = jax.lax.fori_loop(
+        0, n_ff, ff_body,
+        jnp.zeros((x8.shape[0], meta.dp), jnp.float32), unroll=False)
+    mlp_out = acc * dns_ref[0, :][None, :]
+    h32 = h32 + _rms(mlp_out[:, :d], n5_ref[0, :][None, :], eps)
+    hout_ref[...] = h32.astype(hout_ref.dtype)
+
+
+def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
+    """Whether the megakernel path applies: fused int8 W8A8 weights and a
+    bf16 dense-slab windowed cache."""
+    from .quant import QuantWeight
+
+    sa = params_layers.get("self_attn", {})
+    ca = params_layers.get("cross_attn", {})
+    mlp_p = params_layers.get("mlp", {})
+    needed = [sa.get("qkv"), sa.get("o"), ca.get("q"), ca.get("o"),
+              mlp_p.get("gate_up"), mlp_p.get("down")]
+    if not all(isinstance(w, QuantWeight) and w.act_bits == 8
+               for w in needed):
+        return False
+    if cache.gen_k.dtype != jnp.bfloat16:
+        return False
+    ho = dims.num_heads * dims.head_dim
+    f = dims.intermediate_size
+    if jax.default_backend() != "tpu":
+        # interpreter path (tests): tile math needs f either a WTILE
+        # multiple or a single whole-K tile (quantize pads N, not K)
+        return f % WTILE == 0 or f < WTILE
+    return (dims.hidden_size % 128 == 0 and dims.head_dim % 128 == 0
+            and ho % WTILE == 0 and f % WTILE == 0
+            and sa["qkv"].values.shape[-1] % WTILE == 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims_key", "true_batch", "eps", "soft_cap", "q_scale",
+                     "interpret"),
+)
+def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
+          li, plens, glens, elens, *, dims_key, true_batch, eps, soft_cap,
+          q_scale, interpret):
+    (bp, d, heads, hkv, hd) = dims_key
+    qkvw, ow, cqw, cow, guw, dnw = weights
+    pk, pv, gk, gv, xk, xv = slabs
+    nqkv = qkvw.shape[-1]
+    ho = heads * hd
+    dp = ow.shape[-1]
+    f = dnw.shape[-2]
+    meta = _Meta(nqkv=nqkv, cqn=cqw.shape[-1], ho=ho, dp=dp, f=f)
+
+    kernel = functools.partial(
+        _kernel, meta=meta, true_batch=true_batch, hidden=d, heads=heads,
+        kv_heads=hkv, head_dim=hd, eps=eps, soft_cap=soft_cap,
+        q_scale=q_scale)
+
+    def li_block(n):
+        return pl.BlockSpec((1, n), lambda i, li_s, *_: (li_s[0], 0))
+
+    def full(*shape):
+        return pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            full(bp, d),
+            full(bp, hd), full(bp, hd),
+            full(bp, hd), full(bp, hd),
+            *[li_block(d) for _ in range(6)],
+            li_block(nqkv), li_block(dp), li_block(meta.cqn),
+            li_block(dp), li_block(guw.shape[-1]), li_block(dp),
+            *[any_spec] * 12,
+        ],
+        out_specs=[
+            full(bp, d),
+            full(hkv, bp, hd), full(hkv, bp, hd),
+        ],
+        scratch_shapes=(
+            pltpu.VMEM((2, d, WTILE), jnp.int8),
+            pltpu.VMEM((2, d, WTILE), jnp.int8),
+            pltpu.VMEM((2, WTILE, dp), jnp.int8),
+            pltpu.VMEM((bp, nqkv), jnp.float32),
+            pltpu.VMEM((bp, ho), jnp.float32),
+            pltpu.VMEM((bp, dp), jnp.float32),
+            pltpu.VMEM((heads, bp, hd), jnp.float32),
+            pltpu.VMEM((heads, bp, hd), jnp.float32),
+            pltpu.VMEM((2, hkv, TBLOCK, hd), pk.dtype),
+            pltpu.VMEM((2, hkv, TBLOCK, hd), pv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ),
+    )
+
+    n0, n1, n2, n3, n4, n5 = norms
+    qkvs, os_, cqs, cos_s, gus, dns = scales
+    hout, knew, vnew = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, d), jnp.float32),
+            jax.ShapeDtypeStruct((hkv, bp, hd), jnp.float32),
+            jax.ShapeDtypeStruct((hkv, bp, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        li.astype(jnp.int32).reshape(1),
+        plens.astype(jnp.int32),
+        glens.astype(jnp.int32),
+        elens.astype(jnp.int32),
+        h.astype(jnp.float32),
+        cos.astype(jnp.float32), sin.astype(jnp.float32),
+        qcos.astype(jnp.float32), qsin.astype(jnp.float32),
+        n0, n1, n2, n3, n4, n5,
+        qkvs, os_, cqs, cos_s, gus, dns,
+        qkvw, ow, cqw, cow, guw, dnw,
+        pk, pv, gk, gv, xk, xv,
+    )
+    return hout, knew, vnew
+
+
+def _pad_rows(x, bp):
+    b = x.shape[0]
+    if b == bp:
+        return x
+    return jnp.pad(x, [(0, bp - b)] + [(0, 0)] * (x.ndim - 1))
+
+
+def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
+                 li, plens, glens, elens, prompt_k, prompt_v,
+                 gen_k, gen_v, cross_k, cross_v,
+                 interpret: bool = False):
+    """Run decoder layer ``li`` through the megakernel.
+
+    h: [B, D]; cos/sin/qcos/qsin: [B, hd]; slabs are the cache's raw
+    [Hkv, L*B, T, hd] bf16 buffers (models/t5gemma.py identity layout).
+    Returns (h_out [B, D] f32, k_new/v_new [B, Hkv, hd] f32)."""
+    sa = params_layers["self_attn"]
+    ca = params_layers["cross_attn"]
+    mlp_p = params_layers["mlp"]
+
+    norms = tuple(params_layers[n].astype(jnp.float32) for n in (
+        "pre_self_attn_norm", "post_self_attn_norm",
+        "pre_cross_attn_norm", "post_cross_attn_norm",
+        "pre_ff_norm", "post_ff_norm"))
+    scales = tuple(w.scale.astype(jnp.float32) for w in (
+        sa["qkv"], sa["o"], ca["q"], ca["o"], mlp_p["gate_up"],
+        mlp_p["down"]))
+    weights = (sa["qkv"].values, sa["o"].values, ca["q"].values,
+               ca["o"].values, mlp_p["gate_up"].values,
+               mlp_p["down"].values)
+    slabs = (prompt_k, prompt_v, gen_k, gen_v, cross_k, cross_v)
+
+    b = h.shape[0]
+    # int8 MXU operands want a 32-row sublane tile; pad the batch (padded
+    # rows are masked out of the attention walks and sliced off the output)
+    bp = b if b % 32 == 0 else -(-b // 32) * 32
+    if jax.default_backend() != "tpu":
+        bp = b
+    dims_key = (bp, dims.hidden_size, dims.num_heads, dims.num_kv_heads,
+                dims.head_dim)
+    hout, knew, vnew = _call(
+        _pad_rows(h, bp), _pad_rows(cos, bp), _pad_rows(sin, bp),
+        _pad_rows(qcos, bp), _pad_rows(qsin, bp),
+        norms, scales, weights, slabs,
+        jnp.asarray(li), _pad_rows(plens, bp), _pad_rows(glens, bp),
+        _pad_rows(elens, bp),
+        dims_key=dims_key, true_batch=b, eps=dims.rms_norm_eps,
+        soft_cap=dims.attn_logit_softcap,
+        q_scale=float(dims.q_scale), interpret=interpret)
+    # head-major [Hkv, BP, hd] -> engine layout [B, Hkv, hd]
+    return (hout[:b], knew.transpose(1, 0, 2)[:b],
+            vnew.transpose(1, 0, 2)[:b])

@@ -149,3 +149,81 @@ def test_empty_state_segment_is_noop(setup):
     assert not bool(jnp.any(out.active))
     state2, outs = continuous.harvest(out)
     assert outs == []
+
+
+# ---------------------------------------------------------------------------
+# per-row-clock PAGED cache (VERDICT r2 next-round #2)
+# ---------------------------------------------------------------------------
+
+
+def _paged_cfg():
+    cfg = dataclasses.replace(tiny_voice_config(), extra_cutoff=0.0)
+    dims = dataclasses.replace(cfg.backbone.decoder, sliding_window=4096)
+    return dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, decoder=dims))
+
+
+@pytest.fixture(scope="module")
+def psetup():
+    from t5gemma_tts_tpu.models import voice
+
+    cfg = _paged_cfg()
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    dcfg = DecodeConfig(top_k=8, top_p=0.9, temperature=0.8, max_frames=48,
+                        kv_cache="paged")
+    fns = continuous.make_fns(cfg, dcfg)
+    return cfg, dcfg, params, fns
+
+
+def test_paged_state_uses_paged_cache(psetup):
+    from t5gemma_tts_tpu.models import t5gemma as t5g
+
+    cfg, dcfg, params, fns = psetup
+    state = continuous.init_slots(cfg, dcfg, B, TX, PMAX)
+    assert isinstance(state.cache, t5g.PagedDecoderCache)
+
+
+def test_paged_join_mid_flight_stream_identical(psetup):
+    """Same bit-exactness contract as the dense mode: a request's stream is
+    independent of when it joined and what shares the paged batch."""
+    cfg, dcfg, params, fns = psetup
+    ra, rb, rc = _request(1), _request(2), _request(3)
+
+    solo = {k: _run_alone(cfg, dcfg, params, fns, r)
+            for k, r in [("a", ra), ("b", rb), ("c", rc)]}
+
+    state = continuous.init_slots(cfg, dcfg, B, TX, PMAX)
+    state = fns.admit(params, state, jnp.int32(0), *ra)
+    state = fns.segment(params, state, jnp.int32(7))
+    state = fns.admit(params, state, jnp.int32(2), *rb)
+    state = fns.segment(params, state, jnp.int32(9))
+    state = fns.admit(params, state, jnp.int32(1), *rc)
+
+    got = {}
+    for _ in range(12):
+        state = fns.segment(params, state, jnp.int32(16))
+        state, outs = continuous.harvest(state)
+        for slot, toks in outs:
+            got[{0: "a", 2: "b", 1: "c"}[slot]] = toks
+        if len(got) == 3:
+            break
+    assert set(got) == {"a", "b", "c"}
+    for k in "abc":
+        np.testing.assert_array_equal(got[k], solo[k])
+
+
+def test_paged_greedy_matches_dense_greedy():
+    """Greedy traces agree across the dense and per-row-clock paged caches
+    (same f32 math, different attention decomposition — argmax stable)."""
+    from t5gemma_tts_tpu.models import voice
+
+    cfg = _paged_cfg()
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    base = DecodeConfig(top_k=1, top_p=1.0, temperature=1.0, max_frames=48)
+    req = _request(5)
+    outs = {}
+    for mode in ("dense", "paged"):
+        dcfg = dataclasses.replace(base, kv_cache=mode)
+        fns = continuous.make_fns(cfg, dcfg)
+        outs[mode] = _run_alone(cfg, dcfg, params, fns, req)
+    np.testing.assert_array_equal(outs["paged"], outs["dense"])

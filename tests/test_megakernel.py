@@ -1,0 +1,131 @@
+"""Per-layer decode megakernel (ops/megakernel.py) vs the unfused step.
+
+The megakernel runs in interpreter mode on CPU, so these tests execute the
+exact kernel code path. Mode 0 (two flash-part kernels + XLA merge + XLA
+W8A8 matmuls) is the reference; both paths quantize activations per row
+with identical math, so the in-flight K/V must agree to bf16/rope
+precision, while the hidden output tolerates the MLP's finer-grained
+(per-tile) activation scales.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from t5gemma_tts_tpu.config import tiny_voice_config
+from t5gemma_tts_tpu.models import t5gemma, voice
+from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
+
+
+def _setup(b=2, step=5, seed=0):
+    cfg = tiny_voice_config()
+    dims = dataclasses.replace(cfg.backbone.decoder, sliding_window=4096)
+    params = voice.init_params(jax.random.PRNGKey(seed), cfg)
+    params = t5gemma.fuse_for_decode(params)
+    params = quantize_params_for_decode(params)
+    dec = params["decoder"]
+
+    cache = t5gemma.init_paged_cache(dims, b, 5, 6, 7)
+
+    def fill(x, k):
+        if x is None:
+            return None
+        return (jax.random.normal(jax.random.PRNGKey(k), x.shape,
+                                  jnp.float32) * 0.5).astype(x.dtype)
+
+    cache = cache._replace(
+        prompt_k=fill(cache.prompt_k, 1), prompt_v=fill(cache.prompt_v, 2),
+        gen_k=fill(cache.gen_k, 3), gen_v=fill(cache.gen_v, 4),
+        cross_k=fill(cache.cross_k, 5), cross_v=fill(cache.cross_v, 6),
+        pending_k=fill(cache.pending_k, 7),
+        pending_v=fill(cache.pending_v, 8),
+    )
+
+    rng = np.random.default_rng(seed)
+    emb = jnp.asarray(rng.normal(size=(b, 1, dims.hidden_size)) * 0.3,
+                      jnp.bfloat16)
+    pos = jnp.asarray(rng.uniform(0, 100, (b, 1)), jnp.float32)
+    plens = jnp.asarray([3, 5][:b], jnp.int32)
+    elens = jnp.asarray([7, 2][:b], jnp.int32)
+    return cfg, dims, dec, cache, emb, pos, plens, elens, jnp.int32(step)
+
+
+def _run(mode, dec, dims, cache, emb, pos, plens, elens, step):
+    os.environ["T5G_FUSED_ATTN"] = str(mode)
+    try:
+        return t5gemma.paged_decode_step(
+            dec, dims, inputs_embeds=emb, position_ids=pos,
+            pm_decoder_positions=pos, cache=cache, step=step,
+            prompt_lengths=plens, enc_lengths=elens)
+    finally:
+        os.environ.pop("T5G_FUSED_ATTN", None)
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9))
+
+
+def test_megakernel_step_matches_unfused():
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup()
+    h0, c0 = _run(0, dec, dims, cache, emb, pos, plens, elens, step)
+    h3, c3 = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+
+    # the flush is identical code (outside the mode branch)
+    np.testing.assert_array_equal(np.asarray(c0.gen_k), np.asarray(c3.gen_k))
+    np.testing.assert_array_equal(np.asarray(c0.gen_v), np.asarray(c3.gen_v))
+
+    # in-flight K/V: same per-row W8A8 quantization, rope in f32 vs bf16
+    assert _rel(c3.pending_k, c0.pending_k) < 2e-2
+    assert _rel(c3.pending_v, c0.pending_v) < 2e-2
+
+    # hidden: bf16 + per-tile MLP scales vs per-row
+    assert np.isfinite(np.asarray(h3, np.float32)).all()
+    assert _rel(h3, h0) < 5e-2
+
+
+def test_megakernel_respects_lengths():
+    """Changing K/V beyond the valid prompt/enc lengths must not change the
+    megakernel output (the flash masks are per-row exact)."""
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup()
+    h3, c3 = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+
+    poison = cache._replace(
+        prompt_k=cache.prompt_k.at[:, :, 5:, :].set(99.0),
+        prompt_v=cache.prompt_v.at[:, :, 5:, :].set(-99.0),
+        cross_k=cache.cross_k.at[:, :, 7:, :].set(77.0),
+        cross_v=cache.cross_v.at[:, :, 7:, :].set(-77.0),
+        gen_k=cache.gen_k.at[:, :, int(step):, :].set(55.0),
+        gen_v=cache.gen_v.at[:, :, int(step):, :].set(-55.0),
+    )
+    hp, cp = _run(3, dec, dims, poison, emb, pos, plens, elens, step)
+    np.testing.assert_allclose(np.asarray(hp, np.float32),
+                               np.asarray(h3, np.float32), atol=1e-5)
+
+
+def test_megakernel_multistep_chain():
+    """Three chained steps (flush + attend + new pending each time) stay in
+    agreement with the unfused path."""
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup()
+    c0 = c3 = cache
+    h0 = h3 = None
+    for i in range(3):
+        h0, c0 = _run(0, dec, dims, c0, emb, pos, plens, elens,
+                      step + i)
+        h3, c3 = _run(3, dec, dims, c3, emb, pos, plens, elens,
+                      step + i)
+    assert _rel(h3, h0) < 8e-2
+    assert _rel(c3.pending_k, c0.pending_k) < 3e-2
+    assert _rel(c3.gen_k, c0.gen_k) < 3e-2
+
+
+def test_megakernel_batch_one():
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup(b=1)
+    h0, _ = _run(0, dec, dims, cache, emb, pos, plens, elens, step)
+    h3, _ = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+    assert _rel(h3, h0) < 5e-2
