@@ -263,3 +263,102 @@ def quantize_params_for_decode(params, quantize_encoder: bool = False,
         return leaf
 
     return jax.tree_util.tree_map_with_path(walk, params)
+
+
+# ---------------------------------------------------------------------------
+# W4A8: nibble-packed int4 weights with per-K-group scales
+# ---------------------------------------------------------------------------
+
+
+class Quant4Weight(NamedTuple):
+    """int4 weights for the batch-1 latency regime: the decode step there is
+    purely weight-bandwidth-bound, and int8 already sits at its DMA floor —
+    halving the bytes again (2.27 GB -> 1.14 GB for the 2b-2b decoder) is
+    the only remaining lever. Two int4 values pack into one int8 byte in a
+    HALVES layout (byte row i holds K-rows i and i + K/2), so the in-kernel
+    unpack is a sign-extend + one concat along the sublane axis — no lane
+    relayout. Per-(K-group, out-channel) scales bound the quantization
+    error: on Gaussian weights, group=128 absmax/7 steps at ~0.43 sigma —
+    ~12%% relative per matmul vs int8's ~1%% (tests/test_quant.py pins the
+    ratio). Whether end-to-end audio quality survives W4 must be validated
+    on the released checkpoint; until then this is the documented
+    speed/quality tradeoff of the batch-1 latency mode."""
+
+    packed: jnp.ndarray   # int8 [..., K//2, N_pad] (two nibbles per byte)
+    scale: jnp.ndarray    # f32  [..., K//group, N_pad]
+    n: int                # true (unpadded) output dim — static
+    group: int = 128      # K rows sharing one scale
+
+
+jax.tree_util.register_pytree_node(
+    Quant4Weight,
+    lambda qw: ((qw.packed, qw.scale), (qw.n, qw.group)),
+    lambda aux, leaves: Quant4Weight(leaves[0], leaves[1], aux[0], aux[1]),
+)
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = 128,
+                         n_tile: int = N_TILE) -> Quant4Weight:
+    """Per-(K-group, channel) absmax int4 quantization, nibble-packed."""
+    *lead, k, n = w.shape
+    if k % (2 * group) and k % 2:
+        raise ValueError(f"int4 packing needs even K (got {k})")
+    if k % group:
+        raise ValueError(f"K ({k}) must be a multiple of group ({group})")
+    wf = w.astype(jnp.float32)
+    grouped = wf.reshape(*lead, k // group, group, n)
+    absmax = jnp.max(jnp.abs(grouped), axis=-2)              # [..., K/g, N]
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(grouped / scale[..., None, :]), -7, 7)
+    q = q.astype(jnp.int8).reshape(*lead, k, n)
+    low = q[..., : k // 2, :]
+    high = q[..., k // 2:, :]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(low, 0xF), jnp.left_shift(high, 4)).astype(jnp.int8)
+    n_pad = -(-n // n_tile) * n_tile
+    if n_pad != n:
+        pad = [(0, 0)] * len(lead)
+        packed = jnp.pad(packed, pad + [(0, 0), (0, n_pad - n)])
+        scale = jnp.pad(scale, pad + [(0, 0), (0, n_pad - n)])
+    return Quant4Weight(packed=packed, scale=scale, n=n, group=group)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """int8 [..., K//2, N] nibble-packed (halves layout) -> int8 [..., K, N].
+
+    Sign extension via arithmetic shifts; the halves layout makes the
+    reassembly a single concat along the second-to-last (sublane) axis, so
+    the same code runs inside a Pallas kernel without relayouts."""
+    low = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    high = jnp.right_shift(packed, 4)
+    return jnp.concatenate([low, high], axis=-2)
+
+
+def dequantize_int4(qw: Quant4Weight) -> jnp.ndarray:
+    """Reference dequantization (tests)."""
+    w8 = unpack_int4(qw.packed).astype(jnp.float32)
+    *lead, k, n_pad = w8.shape
+    g = qw.group
+    full = (w8.reshape(*lead, k // g, g, n_pad)
+            * qw.scale[..., :, None, :]).reshape(*lead, k, n_pad)
+    return full[..., : qw.n]
+
+
+def q4_matmul(x: jnp.ndarray, qw: Quant4Weight) -> jnp.ndarray:
+    """Reference W4A8 matmul: per-row int8 activations, per-group rescale,
+    f32 accumulation across groups (the megakernel mirrors this math with
+    in-kernel unpack + per-group int32 dots)."""
+    *lead, k = x.shape
+    x2 = x.reshape(-1, k)
+    x8, sx = _quantize_act(x2)
+    w8 = unpack_int4(qw.packed)                          # [K, N_pad]
+    g = qw.group
+    n_pad = w8.shape[-1]
+    acc = jnp.zeros((x2.shape[0], n_pad), jnp.float32)
+    for gi in range(k // g):
+        part = jax.lax.dot_general(
+            x8[:, gi * g:(gi + 1) * g], w8[gi * g:(gi + 1) * g],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = acc + part.astype(jnp.float32) * qw.scale[gi][None, :]
+    out = (acc * sx).astype(x.dtype)
+    return out[:, : qw.n].reshape(*lead, qw.n)
