@@ -64,10 +64,16 @@ def _rms(x32, w32, eps):
 
 
 def _quant_rows(x32):
-    """Per-row absmax int8 quantization (ops/quant.py _quantize_act math)."""
+    """Per-row absmax int8 quantization (ops/quant.py _quantize_act math).
+
+    The int8 cast routes through int32: a direct f32->int8
+    convert_element_type inside a Mosaic kernel HANGS at run time on the
+    current axon terminal's libtpu (bisected with minimal probes; the
+    f32->i32->i8 chain runs fine and is value-identical after the clip)."""
     amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     sx = jnp.maximum(amax, 1e-8) / 127.0
-    x8 = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    x8 = (jnp.clip(jnp.round(x32 / sx), -127, 127)
+          .astype(jnp.int32).astype(jnp.int8))
     return x8, sx
 
 
@@ -82,6 +88,11 @@ class _Meta(NamedTuple):
     ho: int       # H * hd
     dp: int       # o/co/down padded out width
     f: int        # intermediate size
+    ppp: int      # prompt pages per row
+    ppg: int      # generation pages per row
+    ppx: int      # cross (encoder) pages per row
+    o_tiled: bool   # o/co weights in "tiled_k" layout
+    dn_tiled: bool  # down weight in "tiled_k" layout
 
 
 def _kernel(
@@ -91,8 +102,8 @@ def _kernel(
     h_ref,                    # [BP, D] f32
     cos_ref, sin_ref,         # [BP, hd] f32 (self rope)
     qcos_ref, qsin_ref,       # [BP, hd] f32 (cross-query rope)
-    n0_ref, n1_ref, n2_ref, n3_ref, n4_ref, n5_ref,   # [1, D] f32 norms
-    qkvs_ref, os_ref, cqs_ref, cos_s_ref, gus_ref, dns_ref,  # [1, N] scales
+    n0_ref, n1_ref, n2_ref, n3_ref, n4_ref, n5_ref,   # [L, D] f32 norms
+    qkvs_ref, os_ref, cqs_ref, cos_s_ref, gus_ref, dns_ref,  # [L, N] scales
     qkvw_ref, ow_ref, cqw_ref, cow_ref, guw_ref, dnw_ref,    # ANY int8
     pk_ref, pv_ref,           # [Hkv, L*B, Wp, hd] bf16 (ANY)
     gk_ref, gv_ref,           # [Hkv, L*B, Tg, hd]
@@ -137,77 +148,100 @@ def _kernel(
             return x
         return jnp.tanh(x / soft_cap) * soft_cap
 
+    # hoist this layer's norm/scale rows ONCE (dynamic-sublane VMEM reads
+    # are expensive to compile; per-tile slices below are then static
+    # slices of these values)
+    n0 = n0_ref[pl.ds(li, 1), :]
+    n1 = n1_ref[pl.ds(li, 1), :]
+    n2 = n2_ref[pl.ds(li, 1), :]
+    n3 = n3_ref[pl.ds(li, 1), :]
+    n4 = n4_ref[pl.ds(li, 1), :]
+    n5 = n5_ref[pl.ds(li, 1), :]
+    qkvs_row = qkvs_ref[pl.ds(li, 1), :]
+    os_row = os_ref[pl.ds(li, 1), :]
+    cqs_row = cqs_ref[pl.ds(li, 1), :]
+    cos_row = cos_s_ref[pl.ds(li, 1), :]
+    gus_row = gus_ref[pl.ds(li, 1), :]
+    dns_row = dns_ref[pl.ds(li, 1), :]
+
     # ---- streamed matmuls ----------------------------------------------
-    def nstream(w_any, s_ref, x8, sx, out_vmem, n_tiles, wbuf, wsem):
-        """out[:, jT:(j+1)T] = (x8 @ w[li, :, jT:(j+1)T]) * sx * scale."""
+    # Weight-tile DMAs move FULL trailing dims of tile-major layouts
+    # (ops/quant.retile_for_streaming): a lane-sliced HBM DMA hangs the
+    # terminal at run time (bisected with minimal probes).
+    def nstream(w_any, s_row, x8, sx, out_vmem, n_tiles, wbuf, wsem):
+        """out[:, jT:(j+1)T] = (x8 @ w_tiled[li, j]) * sx * scale;
+        w_any is "tiled_n" [L, NT, K, T]. The tile loop is PYTHON-unrolled:
+        Mosaic has no dynamic_slice on values, so tile offsets must be
+        static (n_tiles is a compile-time constant)."""
         def start(j, slot):
-            pltpu.make_async_copy(
-                w_any.at[li, :, pl.ds(j * WTILE, WTILE)], wbuf.at[slot],
-                wsem.at[slot]).start()
+            pltpu.make_async_copy(w_any.at[li, j], wbuf.at[slot],
+                                  wsem.at[slot]).start()
 
         start(0, 0)
-
-        def body(j, _):
-            slot = jax.lax.rem(j, 2)
-
-            @pl.when(j + 1 < n_tiles)
-            def _():
-                start(j + 1, jax.lax.rem(j + 1, 2))
-
-            pltpu.make_async_copy(w_any.at[li, :, pl.ds(0, WTILE)],
-                                  wbuf.at[slot], wsem.at[slot]).wait()
+        for j in range(n_tiles):
+            slot = j % 2
+            if j + 1 < n_tiles:
+                start(j + 1, (j + 1) % 2)
+            pltpu.make_async_copy(w_any.at[li, j], wbuf.at[slot],
+                                  wsem.at[slot]).wait()
             acc = jax.lax.dot_general(
                 x8, wbuf[slot], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            sc = s_ref[0, pl.ds(j * WTILE, WTILE)][None, :]
-            out_vmem[:, pl.ds(j * WTILE, WTILE)] = (
+            sc = s_row[:, j * WTILE:(j + 1) * WTILE]
+            out_vmem[:, j * WTILE:(j + 1) * WTILE] = (
                 acc.astype(jnp.float32) * sx * sc)
-            return 0
 
-        jax.lax.fori_loop(0, n_tiles, body, 0, unroll=False)
-
-    def kstream(w_any, s_ref, x8, sx, k_size):
-        """acc_buf[:] = (x8 @ w[li]) * sx * scale, streaming [ktile, DP]
-        K-tiles; int32 accumulation is exact (one act scale per row).
-        ktile is WTILE for the serving dims; whole-K for tiny test dims."""
-        ktile = WTILE if k_size % WTILE == 0 else k_size
+    def kstream(w_any, s_row, x8, sx, k_size, tiled):
+        """acc_buf[:] = (x8 @ w[li]) * sx * scale, streaming K-tiles; int32
+        accumulation is exact (one act scale per row). ``tiled``:
+        "tiled_k" [L, KT, T, DP] full-trailing DMAs (serving dims); the kn
+        fallback (sublane-sliced DMA) exists only for interpreter-mode test
+        dims where K < WTILE."""
+        ktile = WTILE if tiled else (WTILE if k_size % WTILE == 0 else k_size)
         n_tiles = k_size // ktile
 
         def start(t, slot):
-            pltpu.make_async_copy(
-                w_any.at[li, pl.ds(t * ktile, ktile), :],
-                kwbuf.at[slot, pl.ds(0, ktile), :], ksem2.at[slot]).start()
+            if tiled:
+                pltpu.make_async_copy(w_any.at[li, t], kwbuf.at[slot],
+                                      ksem2.at[slot]).start()
+            else:
+                pltpu.make_async_copy(
+                    w_any.at[li, pl.ds(t * ktile, ktile), :],
+                    kwbuf.at[slot, pl.ds(0, ktile), :],
+                    ksem2.at[slot]).start()
+
+        def wait(t, slot):
+            if tiled:
+                pltpu.make_async_copy(w_any.at[li, t], kwbuf.at[slot],
+                                      ksem2.at[slot]).wait()
+            else:
+                pltpu.make_async_copy(w_any.at[li, pl.ds(t * ktile, ktile), :],
+                                      kwbuf.at[slot, pl.ds(0, ktile), :],
+                                      ksem2.at[slot]).wait()
 
         start(0, 0)
-
-        def body(t, acc32):
-            slot = jax.lax.rem(t, 2)
-
-            @pl.when(t + 1 < n_tiles)
-            def _():
-                start(t + 1, jax.lax.rem(t + 1, 2))
-
-            pltpu.make_async_copy(w_any.at[li, pl.ds(0, ktile), :],
-                                  kwbuf.at[slot, pl.ds(0, ktile), :],
-                                  ksem2.at[slot]).wait()
-            xt = jax.lax.dynamic_slice_in_dim(x8, t * ktile, ktile, 1)
-            return acc32 + jax.lax.dot_general(
+        acc32 = jnp.zeros((x8.shape[0], meta.dp), jnp.int32)
+        for t in range(n_tiles):
+            slot = t % 2
+            if t + 1 < n_tiles:
+                start(t + 1, (t + 1) % 2)
+            wait(t, slot)
+            xt = x8[:, t * ktile:(t + 1) * ktile]
+            acc32 = acc32 + jax.lax.dot_general(
                 xt, kwbuf[slot, pl.ds(0, ktile), :],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-
-        acc32 = jax.lax.fori_loop(
-            0, n_tiles, body,
-            jnp.zeros((x8.shape[0], meta.dp), jnp.int32), unroll=False)
-        acc_buf[...] = (acc32.astype(jnp.float32) * sx
-                        * s_ref[0, :][None, :])
+        acc_buf[...] = acc32.astype(jnp.float32) * sx * s_row
 
     # ---- flash attention over dense cache slabs ------------------------
-    def slab_attention(ak_src, av_src, bk_src, bv_src, alen_of, blen_of,
-                       with_current):
+    def slab_attention(ak_src, av_src, bk_src, bv_src, pp_a, pp_b,
+                       alen_of, blen_of, with_current):
         """Per-row two-segment flash attention; q from qh_buf, output to
         ah_buf. The DMA slot parity carries across rows (row b's last
-        block prefetches row b+1's first block)."""
+        block prefetches row b+1's first block). Sources are PAGES VIEWS
+        [Hkv, NP, TBLOCK, hd] (free reshape of the identity slabs) so every
+        DMA copies full trailing dims — the proven fused_attn pattern;
+        pp_a/pp_b are each row's page counts."""
 
         def counts(b):
             na = pl.cdiv(alen_of(b), TBLOCK)
@@ -218,26 +252,22 @@ def _kernel(
             row = li * true_batch + jnp.minimum(b, true_batch - 1)
             na, _ = counts(b)
             in_a = i < na
-            off_a = i * TBLOCK
-            off_b = (i - na) * TBLOCK
+            pid_a = row * pp_a + jnp.minimum(i, pp_a - 1)
+            pid_b = row * pp_b + jnp.clip(i - na, 0, pp_b - 1)
 
             @pl.when(in_a)
             def _():
-                pltpu.make_async_copy(
-                    ak_src.at[:, row, pl.ds(off_a, TBLOCK), :],
-                    kbuf.at[slot], pksem.at[slot]).start()
-                pltpu.make_async_copy(
-                    av_src.at[:, row, pl.ds(off_a, TBLOCK), :],
-                    vbuf.at[slot], pvsem.at[slot]).start()
+                pltpu.make_async_copy(ak_src.at[:, pid_a], kbuf.at[slot],
+                                      pksem.at[slot]).start()
+                pltpu.make_async_copy(av_src.at[:, pid_a], vbuf.at[slot],
+                                      pvsem.at[slot]).start()
 
             @pl.when(jnp.logical_not(in_a))
             def _():
-                pltpu.make_async_copy(
-                    bk_src.at[:, row, pl.ds(off_b, TBLOCK), :],
-                    kbuf.at[slot], pksem.at[slot]).start()
-                pltpu.make_async_copy(
-                    bv_src.at[:, row, pl.ds(off_b, TBLOCK), :],
-                    vbuf.at[slot], pvsem.at[slot]).start()
+                pltpu.make_async_copy(bk_src.at[:, pid_b], kbuf.at[slot],
+                                      pksem.at[slot]).start()
+                pltpu.make_async_copy(bv_src.at[:, pid_b], vbuf.at[slot],
+                                      pvsem.at[slot]).start()
 
         def nblocks_of(b):
             na, nb = counts(b)
@@ -270,12 +300,10 @@ def _kernel(
                     def _():
                         start_blk(b + 1, 0, nxt)
 
-                pltpu.make_async_copy(
-                    ak_src.at[:, 0, pl.ds(0, TBLOCK), :], kbuf.at[slot],
-                    pksem.at[slot]).wait()
-                pltpu.make_async_copy(
-                    av_src.at[:, 0, pl.ds(0, TBLOCK), :], vbuf.at[slot],
-                    pvsem.at[slot]).wait()
+                pltpu.make_async_copy(ak_src.at[:, 0], kbuf.at[slot],
+                                      pksem.at[slot]).wait()
+                pltpu.make_async_copy(av_src.at[:, 0], vbuf.at[slot],
+                                      pvsem.at[slot]).wait()
 
                 kblk = kbuf[slot].astype(jnp.float32)     # [hkv, ts, hd]
                 in_a = i < na
@@ -325,9 +353,9 @@ def _kernel(
 
     # ======================= phase 1: self attention =====================
     h32 = h_ref[...].astype(jnp.float32)
-    hn = _rms(h32, n0_ref[0, :][None, :], eps)
+    hn = _rms(h32, n0, eps)
     x8, sx = _quant_rows(hn)
-    nstream(qkvw_ref, qkvs_ref, x8, sx, qkv_buf, meta.nqkv // WTILE,
+    nstream(qkvw_ref, qkvs_row, x8, sx, qkv_buf, meta.nqkv // WTILE,
             awbuf, asem)
 
     cosb = cos_ref[...]
@@ -345,20 +373,20 @@ def _kernel(
         vnew_ref[pl.ds(hh, 1)] = vh.reshape(1, bp, hd)
 
     slab_attention(
-        pk_ref, pv_ref, gk_ref, gv_ref,
+        pk_ref, pv_ref, gk_ref, gv_ref, meta.ppp, meta.ppg,
         alen_of=lambda b: jnp.where(b < true_batch, plens_s[b], 0),
         blen_of=lambda b: jnp.where(b < true_batch, glens_s[b], 0),
         with_current=True)
 
     heads_to_rows(ah_buf, heads, attn_buf)
     a8, sa = _quant_rows(attn_buf[...])
-    kstream(ow_ref, os_ref, a8, sa, ho)
-    h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n1_ref[0, :][None, :], eps)
+    kstream(ow_ref, os_row, a8, sa, ho, meta.o_tiled)
+    h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n1, eps)
 
     # ======================= phase 2: cross attention ====================
-    hn = _rms(h32, n2_ref[0, :][None, :], eps)
+    hn = _rms(h32, n2, eps)
     x8, sx = _quant_rows(hn)
-    nstream(cqw_ref, cqs_ref, x8, sx, qkv_buf, meta.cqn // WTILE,
+    nstream(cqw_ref, cqs_row, x8, sx, qkv_buf, meta.cqn // WTILE,
             awbuf, asem)
     qcosb = qcos_ref[...]
     qsinb = qsin_ref[...]
@@ -369,7 +397,7 @@ def _kernel(
             1, bp, hd)
 
     slab_attention(
-        xk_ref, xv_ref, xk_ref, xv_ref,
+        xk_ref, xv_ref, xk_ref, xv_ref, meta.ppx, 1,
         alen_of=lambda b: jnp.where(b < true_batch,
                                     jnp.maximum(elens_s[b], 1), 0),
         blen_of=lambda b: jnp.int32(0),
@@ -377,72 +405,85 @@ def _kernel(
 
     heads_to_rows(ah_buf, heads, attn_buf)
     a8, sa = _quant_rows(attn_buf[...])
-    kstream(cow_ref, cos_s_ref, a8, sa, ho)
-    h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n3_ref[0, :][None, :], eps)
+    kstream(cow_ref, cos_row, a8, sa, ho, meta.o_tiled)
+    h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n3, eps)
 
     # ======================= phase 3: GeGLU MLP ==========================
-    hn = _rms(h32, n4_ref[0, :][None, :], eps)
+    hn = _rms(h32, n4, eps)
     x8, sx = _quant_rows(hn)
     f = meta.f
-    ftile = WTILE if f % WTILE == 0 else f
+    aligned = f % WTILE == 0        # serving dims; tiny test dims are < WTILE
+    ftile = WTILE if aligned else f
     n_ff = f // ftile
+    f_tiles = f // WTILE if aligned else 1
 
     def gu_start(j, slot):
-        pltpu.make_async_copy(
-            guw_ref.at[li, :, pl.ds(j * ftile, ftile)],
-            awbuf.at[slot, :, pl.ds(0, ftile)], asem.at[slot]).start()
-        pltpu.make_async_copy(
-            guw_ref.at[li, :, pl.ds(f + j * ftile, ftile)],
-            bwbuf.at[slot, :, pl.ds(0, ftile)], bsem.at[slot]).start()
+        if aligned:
+            # gate tile j and up tile (f_tiles + j) of the tiled_n layout
+            pltpu.make_async_copy(guw_ref.at[li, j], awbuf.at[slot],
+                                  asem.at[slot]).start()
+            pltpu.make_async_copy(guw_ref.at[li, f_tiles + j],
+                                  bwbuf.at[slot], bsem.at[slot]).start()
+        else:
+            # tiny dims: gate AND up live inside the single padded tile
+            pltpu.make_async_copy(guw_ref.at[li, 0], awbuf.at[slot],
+                                  asem.at[slot]).start()
 
     def dn_start(j, slot):
-        pltpu.make_async_copy(
-            dnw_ref.at[li, pl.ds(j * ftile, ftile), :],
-            kwbuf.at[slot, pl.ds(0, ftile), :], ksem2.at[slot]).start()
+        if meta.dn_tiled:
+            pltpu.make_async_copy(dnw_ref.at[li, j], kwbuf.at[slot],
+                                  ksem2.at[slot]).start()
+        else:
+            pltpu.make_async_copy(
+                dnw_ref.at[li, pl.ds(j * ftile, ftile), :],
+                kwbuf.at[slot, pl.ds(0, ftile), :], ksem2.at[slot]).start()
 
     gu_start(0, 0)
     dn_start(0, 0)
 
-    def ff_body(j, acc):
-        slot = jax.lax.rem(j, 2)
-
-        @pl.when(j + 1 < n_ff)
-        def _():
-            nxt = jax.lax.rem(j + 1, 2)
+    acc = jnp.zeros((x8.shape[0], meta.dp), jnp.float32)
+    for j in range(n_ff):                  # python-unrolled (static tiles)
+        slot = j % 2
+        if j + 1 < n_ff:
+            nxt = (j + 1) % 2
             gu_start(j + 1, nxt)
             dn_start(j + 1, nxt)
 
-        pltpu.make_async_copy(guw_ref.at[li, :, pl.ds(0, ftile)],
-                              awbuf.at[slot, :, pl.ds(0, ftile)],
+        pltpu.make_async_copy(guw_ref.at[li, 0], awbuf.at[slot],
                               asem.at[slot]).wait()
-        pltpu.make_async_copy(guw_ref.at[li, :, pl.ds(0, ftile)],
-                              bwbuf.at[slot, :, pl.ds(0, ftile)],
-                              bsem.at[slot]).wait()
+        if aligned:
+            pltpu.make_async_copy(guw_ref.at[li, 0], bwbuf.at[slot],
+                                  bsem.at[slot]).wait()
+            gblk = awbuf[slot]
+            ublk = bwbuf[slot]
+        else:
+            gblk = awbuf[slot, :, :f]
+            ublk = awbuf[slot, :, f:2 * f]
         gi = jax.lax.dot_general(
-            x8, awbuf[slot, :, pl.ds(0, ftile)], (((1,), (0,)), ((), ())),
+            x8, gblk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         ui = jax.lax.dot_general(
-            x8, bwbuf[slot, :, pl.ds(0, ftile)], (((1,), (0,)), ((), ())),
+            x8, ublk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        sg = gus_ref[0, pl.ds(j * ftile, ftile)][None, :]
-        su = gus_ref[0, pl.ds(f + j * ftile, ftile)][None, :]
+        sg = gus_row[:, j * ftile:(j + 1) * ftile]
+        su = gus_row[:, f + j * ftile:f + (j + 1) * ftile]
         gf = gi.astype(jnp.float32) * sx * sg
         uf = ui.astype(jnp.float32) * sx * su
         t = jax.nn.gelu(gf, approximate=True) * uf        # [BP, ftile] f32
         t8, st = _quant_rows(t)                            # per-tile scales
-        pltpu.make_async_copy(dnw_ref.at[li, pl.ds(0, ftile), :],
-                              kwbuf.at[slot, pl.ds(0, ftile), :],
-                              ksem2.at[slot]).wait()
+        if meta.dn_tiled:
+            pltpu.make_async_copy(dnw_ref.at[li, j], kwbuf.at[slot],
+                                  ksem2.at[slot]).wait()
+        else:
+            pltpu.make_async_copy(dnw_ref.at[li, pl.ds(j * ftile, ftile), :],
+                                  kwbuf.at[slot, pl.ds(0, ftile), :],
+                                  ksem2.at[slot]).wait()
         di = jax.lax.dot_general(
             t8, kwbuf[slot, pl.ds(0, ftile), :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        return acc + di.astype(jnp.float32) * st
-
-    acc = jax.lax.fori_loop(
-        0, n_ff, ff_body,
-        jnp.zeros((x8.shape[0], meta.dp), jnp.float32), unroll=False)
-    mlp_out = acc * dns_ref[0, :][None, :]
-    h32 = h32 + _rms(mlp_out[:, :d], n5_ref[0, :][None, :], eps)
+        acc = acc + di.astype(jnp.float32) * st
+    mlp_out = acc * dns_row
+    h32 = h32 + _rms(mlp_out[:, :d], n5, eps)
     hout_ref[...] = h32.astype(hout_ref.dtype)
 
 
@@ -463,13 +504,18 @@ def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
         return False
     ho = dims.num_heads * dims.head_dim
     f = dims.intermediate_size
+    n_ok = all(w.layout == "tiled_n"
+               for w in (sa["qkv"], ca["q"], mlp_p["gate_up"]))
     if jax.default_backend() != "tpu":
         # interpreter path (tests): tile math needs f either a WTILE
-        # multiple or a single whole-K tile (quantize pads N, not K)
-        return f % WTILE == 0 or f < WTILE
-    return (dims.hidden_size % 128 == 0 and dims.head_dim % 128 == 0
-            and ho % WTILE == 0 and f % WTILE == 0
-            and sa["qkv"].values.shape[-1] % WTILE == 0)
+        # multiple or a single whole-K tile (quantize pads N, not K);
+        # the kn fallbacks for o/co/down run only under interpret
+        return n_ok and (f % WTILE == 0 or f < WTILE)
+    k_ok = all(w.layout == "tiled_k"
+               for w in (sa["o"], ca["o"], mlp_p["down"]))
+    return (n_ok and k_ok
+            and dims.hidden_size % 128 == 0 and dims.head_dim % 128 == 0
+            and ho % WTILE == 0 and f % WTILE == 0)
 
 
 @functools.partial(
@@ -483,25 +529,44 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
     (bp, d, heads, hkv, hd) = dims_key
     qkvw, ow, cqw, cow, guw, dnw = weights
     pk, pv, gk, gv, xk, xv = slabs
-    nqkv = qkvw.shape[-1]
+    # "tiled_n" values are [L, NT, K, T]; padded width = NT * T
+    nqkv = qkvw.shape[1] * qkvw.shape[-1]
+    cqn = cqw.shape[1] * cqw.shape[-1]
     ho = heads * hd
+    o_tiled = ow.ndim == 4
+    dn_tiled = dnw.ndim == 4
     dp = ow.shape[-1]
-    f = dnw.shape[-2]
-    meta = _Meta(nqkv=nqkv, cqn=cqw.shape[-1], ho=ho, dp=dp, f=f)
+    f = (dnw.shape[1] * dnw.shape[2]) if dn_tiled else dnw.shape[-2]
+    t_p, t_g, t_x = pk.shape[2], gk.shape[2], xk.shape[2]
+    meta = _Meta(nqkv=nqkv, cqn=cqn, ho=ho, dp=dp, f=f,
+                 ppp=t_p // TBLOCK, ppg=t_g // TBLOCK, ppx=t_x // TBLOCK,
+                 o_tiled=o_tiled, dn_tiled=dn_tiled)
+    # pages views: [Hkv, L*B, T, hd] -> [Hkv, NP, TBLOCK, hd] (free)
+    def pview(buf):
+        hkv_, lb, t, hd_ = buf.shape
+        return buf.reshape(hkv_, lb * (t // TBLOCK), TBLOCK, hd_)
+
+    pk, pv, gk, gv, xk, xv = (pview(x) for x in (pk, pv, gk, gv, xk, xv))
 
     kernel = functools.partial(
         _kernel, meta=meta, true_batch=true_batch, hidden=d, heads=heads,
         kv_heads=hkv, head_dim=hd, eps=eps, soft_cap=soft_cap,
         q_scale=q_scale)
 
+    n_layers = qkvw.shape[0]
+
     def li_block(n):
-        return pl.BlockSpec((1, n), lambda i, li_s, *_: (li_s[0], 0))
+        # whole [L, n] array resident in VMEM; the kernel dynamic-slices
+        # row li (a (1, n) block would violate Mosaic's sublane tiling)
+        return pl.BlockSpec((n_layers, n), lambda i, *_: (0, 0))
 
     def full(*shape):
         return pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    n0, n1, n2, n3, n4, n5 = norms
+    qkvs, os_, cqs, cos_s, gus, dns = scales
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(1,),
@@ -510,8 +575,12 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
             full(bp, hd), full(bp, hd),
             full(bp, hd), full(bp, hd),
             *[li_block(d) for _ in range(6)],
-            li_block(nqkv), li_block(dp), li_block(meta.cqn),
-            li_block(dp), li_block(guw.shape[-1]), li_block(dp),
+            # scale widths come from the scale tables themselves (the
+            # tiled weight shapes no longer carry the padded width)
+            li_block(qkvs.shape[-1]), li_block(os_.shape[-1]),
+            li_block(cqs.shape[-1]), li_block(cos_s.shape[-1]),
+            li_block(gus.shape[-1]), li_block(dns.shape[-1]),
+            # (scale tables total ~4.8 MB f32 in VMEM at 2b-2b dims)
             *[any_spec] * 12,
         ],
         out_specs=[
@@ -537,8 +606,6 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
         ),
     )
 
-    n0, n1, n2, n3, n4, n5 = norms
-    qkvs, os_, cqs, cos_s, gus, dns = scales
     hout, knew, vnew = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -40,17 +40,22 @@ M_PAD = 16    # bf16 sublane tile
 
 
 class QuantWeight(NamedTuple):
-    values: jnp.ndarray   # int8 [..., K, N_pad]
+    values: jnp.ndarray   # int8; layout "kn": [..., K, N_pad];
+                          # "tiled_n": [..., N_pad/T, K, T];
+                          # "tiled_k": [..., K/T, T, N_pad]
     scale: jnp.ndarray    # f32  [..., N_pad]
     n: int                # true (unpadded) output dim — static
     act_bits: int = 8     # 8 = W8A8 native int8 dot; 16 = W8A16 Pallas
+    layout: str = "kn"    # tiled layouts exist for the decode megakernel:
+                          # weight-tile DMAs must move FULL trailing dims
+                          # (a lane-sliced HBM DMA hangs the terminal)
 
 
-# make the static `n`/`act_bits` pytree aux values
+# make the static `n`/`act_bits`/`layout` pytree aux values
 jax.tree_util.register_pytree_node(
     QuantWeight,
-    lambda qw: ((qw.values, qw.scale), (qw.n, qw.act_bits)),
-    lambda aux, leaves: QuantWeight(leaves[0], leaves[1], aux[0], aux[1]),
+    lambda qw: ((qw.values, qw.scale), (qw.n, qw.act_bits, qw.layout)),
+    lambda aux, leaves: QuantWeight(leaves[0], leaves[1], *aux),
 )
 
 
@@ -200,6 +205,24 @@ def _w8a8_2d_pallas(x: jnp.ndarray, w: QuantWeight,
     return out[:m]
 
 
+def _w8a8_2d_xla_tiled(x: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
+    """W8A8 for the streaming-tiled layouts (same math as _w8a8_2d_xla)."""
+    x8, sx = _quantize_act(x)
+    if w.layout == "tiled_n":
+        # values [NT, K, T]: contract K -> [M, NT, T] -> [M, N_pad]
+        o = jax.lax.dot_general(
+            x8, w.values, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        o = o.reshape(x.shape[0], -1)
+    else:  # tiled_k: values [KT, T, N_pad]: contract (KT, T)
+        kt, t, n_pad = w.values.shape
+        o = jax.lax.dot_general(
+            x8.reshape(x.shape[0], kt, t), w.values,
+            (((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32)
+    return (o.astype(jnp.float32) * sx * w.scale[None, :]).astype(x.dtype)
+
+
 def _w8a8_2d(x: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
     # The XLA int8 dot is the default: isolated marginal timing has the
     # Pallas kernel ~3% faster (312 vs 321 us across the five decode shapes,
@@ -207,6 +230,8 @@ def _w8a8_2d(x: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
     # the extra per-layer pallas_call launches measure 9% SLOWER end-to-end
     # (57.1x vs 62.7x RTF at batch 64) and 2.5x the compile time. Opt in with
     # T5G_PALLAS_W8A8=1 for kernels-in-isolation work.
+    if w.layout != "kn":
+        return _w8a8_2d_xla_tiled(x, w)
     if (jax.default_backend() == "tpu" and x.shape[0] <= 256
             and os.environ.get("T5G_PALLAS_W8A8") == "1"):
         return _w8a8_2d_pallas(x, w)
@@ -230,6 +255,10 @@ def q_matmul(x: jnp.ndarray, w: Union[jnp.ndarray, QuantWeight]) -> jnp.ndarray:
     if w.act_bits == 8:
         out = _w8a8_2d(x2, w)
     else:
+        if w.layout != "kn":
+            raise NotImplementedError(
+                "W8A16 with streaming-tiled weights is not supported; "
+                "retile only W8A8 params")
         interpret = jax.default_backend() != "tpu"
         out = _qmm_2d(x2, w.values, w.scale, interpret=interpret)
     return out[:, : w.n].reshape(*lead, w.n)
@@ -237,7 +266,15 @@ def q_matmul(x: jnp.ndarray, w: Union[jnp.ndarray, QuantWeight]) -> jnp.ndarray:
 
 def dequantize(w: QuantWeight) -> jnp.ndarray:
     """Reference dequantization (for tests)."""
-    full = w.values.astype(jnp.float32) * w.scale[..., None, :]
+    v = w.values
+    if w.layout == "tiled_n":
+        # [..., NT, K, T] -> [..., K, NT*T]
+        v = jnp.moveaxis(v, -3, -2)
+        v = v.reshape(*v.shape[:-2], -1)
+    elif w.layout == "tiled_k":
+        # [..., KT, T, N_pad] -> [..., KT*T, N_pad]
+        v = v.reshape(*v.shape[:-3], -1, v.shape[-1])
+    full = v.astype(jnp.float32) * w.scale[..., None, :]
     return full[..., : w.n]
 
 
@@ -246,11 +283,14 @@ _QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down", "w1", "w2",
 
 
 def quantize_params_for_decode(params, quantize_encoder: bool = False,
-                               act_bits: int = 8):
+                               act_bits: int = 8,
+                               streaming_tiled: bool = None):
     """Quantize the weight-bandwidth-heavy matmuls of the voice model for
     inference. By default the decoder stack + prediction head (read every
     decode step) go int8; the encoder (read once per utterance) stays bf16
-    unless ``quantize_encoder``. ``act_bits`` picks W8A8 (8) or W8A16 (16)."""
+    unless ``quantize_encoder``. ``act_bits`` picks W8A8 (8) or W8A16 (16).
+    ``streaming_tiled`` re-layouts the stacked decoder weights for the
+    megakernel's DMA streams (default: on when T5G_FUSED_ATTN=3)."""
     def walk(path, leaf):
         keys = [getattr(k, "key", None) for k in path]
         if not keys:
@@ -262,7 +302,12 @@ def quantize_params_for_decode(params, quantize_encoder: bool = False,
             return quantize_weight(leaf, act_bits=act_bits)
         return leaf
 
-    return jax.tree_util.tree_map_with_path(walk, params)
+    out = jax.tree_util.tree_map_with_path(walk, params)
+    if streaming_tiled is None:
+        streaming_tiled = os.environ.get("T5G_FUSED_ATTN") == "3"
+    if streaming_tiled:
+        out = retile_for_streaming(out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -362,3 +407,41 @@ def q4_matmul(x: jnp.ndarray, qw: Quant4Weight) -> jnp.ndarray:
         acc = acc + part.astype(jnp.float32) * qw.scale[gi][None, :]
     out = (acc * sx).astype(x.dtype)
     return out[:, : qw.n].reshape(*lead, qw.n)
+
+
+def retile_for_streaming(params, tile: int = N_TILE):
+    """Re-layout stacked decoder QuantWeights for the megakernel's weight
+    streams (one-time transform at model load; prefill and the fallback
+    decode paths read the tiled layouts through q_matmul transparently).
+
+    N-streamed matmuls (qkv, cross-q, gate_up) become "tiled_n"
+    [L, N_pad/T, K, T]; K-streamed matmuls (o, cross-o, down) become
+    "tiled_k" [L, K/T, T, N_pad]. Both layouts make every weight-tile DMA
+    a FULL-trailing-dims copy of a contiguous block — a lane-sliced HBM
+    DMA (the [*, :, jT:(j+1)T] shape the naive layout would need) hangs at
+    run time on the current axon terminal (bisected with minimal probes).
+    """
+    n_major = ("qkv", "gate_up")
+    k_major = ("o", "down")
+
+    def walk(path, leaf):
+        if not isinstance(leaf, QuantWeight) or leaf.layout != "kn":
+            return leaf
+        if leaf.values.ndim != 3:
+            return leaf
+        keys = [getattr(kk, "key", None) for kk in path]
+        name = keys[-1]
+        l, k, n_pad = leaf.values.shape
+        if name in n_major or (name == "q" and "cross_attn" in keys):
+            v = leaf.values.reshape(l, k, n_pad // tile, tile)
+            v = v.transpose(0, 2, 1, 3)
+            return QuantWeight(v, leaf.scale, leaf.n, leaf.act_bits,
+                               "tiled_n")
+        if name in k_major and k % tile == 0:
+            v = leaf.values.reshape(l, k // tile, tile, n_pad)
+            return QuantWeight(v, leaf.scale, leaf.n, leaf.act_bits,
+                               "tiled_k")
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(
+        walk, params, is_leaf=lambda x: isinstance(x, QuantWeight))

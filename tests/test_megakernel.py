@@ -26,7 +26,7 @@ def _setup(b=2, step=5, seed=0):
     dims = dataclasses.replace(cfg.backbone.decoder, sliding_window=4096)
     params = voice.init_params(jax.random.PRNGKey(seed), cfg)
     params = t5gemma.fuse_for_decode(params)
-    params = quantize_params_for_decode(params)
+    params = quantize_params_for_decode(params, streaming_tiled=True)
     dec = params["decoder"]
 
     cache = t5gemma.init_paged_cache(dims, b, 5, 6, 7)

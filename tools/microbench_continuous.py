@@ -1,12 +1,11 @@
 """Continuous-batching decode cost on one TPU chip (ms/step, tokens/s).
 
-The resident-batch path (decode/continuous.py) trades the paged fused
-attention kernel for join-anytime admission: per-row step clocks need the
-dense KV cache. This measures that trade at flagship shapes so the serving
-docs carry real numbers.
+The resident-batch path (decode/continuous.py) now runs the per-row-clock
+PAGED cache by default on TPU (kv "auto"); --kv dense measures the old
+dense fallback for the A/B the serving docs carry.
 
 Run: python tools/microbench_continuous.py [--slots 8] [--prompt 128]
-     [--text 64] [--frames 384]
+     [--text 64] [--frames 384] [--kv auto|dense|paged]
 """
 
 from __future__ import annotations
@@ -27,6 +26,9 @@ def main():
     ap.add_argument("--int8", dest="int8", action="store_true", default=True)
     ap.add_argument("--no-int8", dest="int8", action="store_false",
                     help="bf16 decoder weights (default: int8 on)")
+    ap.add_argument("--kv", default="auto",
+                    choices=["auto", "dense", "paged"],
+                    help="continuous cache mode (auto = paged on TPU)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +43,7 @@ def main():
 
     cfg = VoiceConfig(backbone=backbone_preset("2b-2b"))
     dcfg = DecodeConfig(top_k=30, top_p=0.9, temperature=0.8,
-                        max_frames=args.frames)
+                        max_frames=args.frames, kv_cache=args.kv)
     params = jax.jit(lambda k: voice.init_params(k, cfg))(jax.random.PRNGKey(0))
     params = jax.jit(t5gemma.fuse_for_decode, donate_argnums=0)(params)
     if args.int8:
@@ -77,7 +79,8 @@ def main():
     done = int(np.asarray(state.steps).min()) - base
     per_step = dt / max(done, 1)
     print(f"slots={args.slots} prompt={args.prompt} frames={args.frames} "
-          f"int8={args.int8}")
+          f"int8={args.int8} cache="
+          f"{continuous.resolve_cache_mode(cfg, dcfg, args.prompt)}")
     print(f"continuous decode: {per_step*1e3:.2f} ms/step "
           f"({args.slots / per_step:,.0f} tokens/s, "
           f"{args.slots / per_step / 50:.1f}x realtime aggregate)")

@@ -1,0 +1,122 @@
+"""Standalone megakernel bring-up bench: ONE layer at serving dims.
+
+Builds a few stacked decoder layers' int8 weights + a dense-slab cache at
+2b-2b dims and times ops/megakernel.decode_layer in isolation — much faster
+to compile than the full 26-layer step, so Mosaic bring-up iterations are
+minutes, not tens of minutes.
+
+Run: python tools/microbench_megakernel.py [--batch 64] [--layers 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--prompt", type=int, default=128)
+    ap.add_argument("--gen", type=int, default=384)
+    ap.add_argument("--enc", type=int, default=128)
+    ap.add_argument("--fill", type=float, default=0.5)
+    ap.add_argument("--iters", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from t5gemma_tts_tpu.config import backbone_preset
+    from t5gemma_tts_tpu.models import t5gemma
+    from t5gemma_tts_tpu.ops import megakernel as mk
+    from t5gemma_tts_tpu.ops.quant import (
+        quantize_weight, retile_for_streaming,
+    )
+
+    import dataclasses
+
+    base_dims = backbone_preset("2b-2b").decoder
+    dims = dataclasses.replace(
+        base_dims, num_layers=args.layers,
+        layer_types=base_dims.layer_types[: args.layers])
+    l, d, h, hkv, hd = (args.layers, dims.hidden_size, dims.num_heads,
+                        dims.num_kv_heads, dims.head_dim)
+    ho, f = h * hd, dims.intermediate_size
+    b = args.batch
+    key = jax.random.PRNGKey(0)
+
+    def qw(k, shape):
+        w = jax.random.normal(jax.random.fold_in(key, k), shape,
+                              jnp.float32) * 0.02
+        return quantize_weight(w)
+
+    layers = {
+        "self_attn": {"qkv": qw(1, (l, d, ho + 2 * hkv * hd)),
+                      "o": qw(2, (l, ho, d))},
+        "cross_attn": {"q": qw(3, (l, d, ho)), "o": qw(4, (l, ho, d))},
+        "mlp": {"gate_up": qw(5, (l, d, 2 * f)), "down": qw(6, (l, f, d))},
+    }
+    for i, name in enumerate(("pre_self_attn_norm", "post_self_attn_norm",
+                              "pre_cross_attn_norm", "post_cross_attn_norm",
+                              "pre_ff_norm", "post_ff_norm")):
+        layers[name] = jax.random.normal(
+            jax.random.fold_in(key, 10 + i), (l, d), jnp.float32) * 0.01
+    layers = retile_for_streaming(layers)
+
+    cache = t5gemma.init_paged_cache(dims, b, args.prompt, args.gen, args.enc)
+
+    def fill(x, k):
+        return (jax.random.normal(jax.random.fold_in(key, 100 + k), x.shape,
+                                  jnp.float32) * 0.3).astype(x.dtype)
+
+    slabs = {n: fill(getattr(cache, n), i) for i, n in enumerate(
+        ("prompt_k", "prompt_v", "gen_k", "gen_v", "cross_k", "cross_v"))}
+
+    rng = np.random.default_rng(0)
+    hbuf = jnp.asarray(rng.normal(size=(b, d)) * 0.1, jnp.float32)
+    cos = jnp.asarray(rng.uniform(-1, 1, (b, hd)), jnp.float32)
+    sin = jnp.asarray(rng.uniform(-1, 1, (b, hd)), jnp.float32)
+    plens = jnp.full((b,), args.prompt, jnp.int32)
+    elens = jnp.full((b,), args.enc, jnp.int32)
+    glens = jnp.full((b,), int(args.gen * args.fill), jnp.int32)
+
+    @jax.jit
+    def run(hbuf, li):
+        return mk.decode_layer(
+            layers, dims, h=hbuf, cos=cos, sin=sin, qcos=cos, qsin=sin,
+            li=li, plens=plens, glens=glens, elens=elens,
+            prompt_k=slabs["prompt_k"], prompt_v=slabs["prompt_v"],
+            gen_k=slabs["gen_k"], gen_v=slabs["gen_v"],
+            cross_k=slabs["cross_k"], cross_v=slabs["cross_v"])
+
+    t0 = time.time()
+    compiled = run.lower(hbuf, jnp.int32(0)).compile()
+    print(f"compile: {time.time() - t0:.1f} s", flush=True)
+    t0 = time.time()
+    out = compiled(hbuf, jnp.int32(0))
+    np.asarray(out[0]).reshape(-1)[:2]
+    print(f"first run: {time.time() - t0:.1f} s", flush=True)
+    run = compiled
+
+    # chained timing (data dependency forces sequential execution)
+    t0 = time.time()
+    hcur = hbuf
+    for i in range(args.iters):
+        hcur, _, _ = run(hcur, jnp.int32(i % args.layers))
+    np.asarray(hcur).reshape(-1)[:2]
+    dt = (time.time() - t0) / args.iters
+    per_layer_bytes = sum(
+        int(np.prod(w.values.shape))
+        for grp in ("self_attn", "cross_attn", "mlp")
+        for w in layers[grp].values()) // args.layers
+    print(f"megakernel layer: {dt*1e3:.3f} ms "
+          f"({per_layer_bytes/dt/1e9:.0f} GB/s weight stream; "
+          f"x26 layers = {dt*26*1e3:.2f} ms/step)")
+
+
+if __name__ == "__main__":
+    main()
