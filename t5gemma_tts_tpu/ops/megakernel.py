@@ -121,6 +121,8 @@ def _kernel(
     qh_buf,                   # [H, BP, hd] f32 (head-major q)
     ah_buf,                   # [H, BP, hd] f32 (head-major attn out)
     kbuf, vbuf,               # [2, Hkv, TBLOCK, hd] bf16 (slab blocks)
+    x8_buf,                   # [BP, HO] int8 (staged kstream activations)
+    gs_buf,                   # [1, 2F] f32 (staged gate/up scale row)
     asem, bsem, ksem2,        # weight DMA semaphores (2,)
     pksem, pvsem,             # slab DMA semaphores (2,)
     *,
@@ -133,6 +135,7 @@ def _kernel(
     eps: float,
     soft_cap: Optional[float],
     q_scale: float,
+    phases: tuple = ("self", "cross", "mlp"),  # compile-time phase mask
 ):
     d = hidden
     hd = head_dim
@@ -187,9 +190,13 @@ def _kernel(
             acc = jax.lax.dot_general(
                 x8, wbuf[slot], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            sc = s_row[:, j * WTILE:(j + 1) * WTILE]
-            out_vmem[:, j * WTILE:(j + 1) * WTILE] = (
-                acc.astype(jnp.float32) * sx * sc)
+            out_vmem[:, j * WTILE:(j + 1) * WTILE] = acc.astype(jnp.float32)
+        # scale ONCE over the whole written span: a per-tile VALUE slice of
+        # s_row carries its lane offset in the Mosaic layout and the [1,T]
+        # -> [BP,T] broadcast from a non-zero lane offset is rejected
+        # ("Invalid input layout"); the full-row broadcast is offset 0.
+        n_out = n_tiles * WTILE
+        out_vmem[:, :n_out] = out_vmem[:, :n_out] * sx * s_row
 
     def kstream(w_any, s_row, x8, sx, k_size, tiled):
         """acc_buf[:] = (x8 @ w[li]) * sx * scale, streaming K-tiles; int32
@@ -199,6 +206,11 @@ def _kernel(
         dims where K < WTILE."""
         ktile = WTILE if tiled else (WTILE if k_size % WTILE == 0 else k_size)
         n_tiles = k_size // ktile
+        # stage the quantized activations in VMEM so per-tile operands are
+        # REF reads (clean layout); lane-offset VALUE slices feeding the
+        # MXU hit the same Mosaic "Invalid input layout" class as nstream's
+        # scale broadcast
+        x8_buf[:, :k_size] = x8
 
         def start(t, slot):
             if tiled:
@@ -226,7 +238,7 @@ def _kernel(
             if t + 1 < n_tiles:
                 start(t + 1, (t + 1) % 2)
             wait(t, slot)
-            xt = x8[:, t * ktile:(t + 1) * ktile]
+            xt = x8_buf[:, t * ktile:(t + 1) * ktile]
             acc32 = acc32 + jax.lax.dot_general(
                 xt, kwbuf[slot, pl.ds(0, ktile), :],
                 (((1,), (0,)), ((), ())),
@@ -352,63 +364,75 @@ def _kernel(
             out_vmem[:, pl.ds(hh * hd, hd)] = src[hh]
 
     # ======================= phase 1: self attention =====================
-    h32 = h_ref[...].astype(jnp.float32)
-    hn = _rms(h32, n0, eps)
-    x8, sx = _quant_rows(hn)
-    nstream(qkvw_ref, qkvs_row, x8, sx, qkv_buf, meta.nqkv // WTILE,
-            awbuf, asem)
+    def phase_self(h32):
+        hn = _rms(h32, n0, eps)
+        x8, sx = _quant_rows(hn)
+        nstream(qkvw_ref, qkvs_row, x8, sx, qkv_buf, meta.nqkv // WTILE,
+                awbuf, asem)
 
-    cosb = cos_ref[...]
-    sinb = sin_ref[...]
-    for hh in range(heads):
-        qh = qkv_buf[:, pl.ds(hh * hd, hd)]
-        qh = qh * cosb + _rot_half(qh) * sinb
-        qh_buf[pl.ds(hh, 1)] = (qh * jnp.float32(q_scale)).reshape(
-            1, bp, hd)
-    for hh in range(hkv):
-        kh = qkv_buf[:, pl.ds(ho + hh * hd, hd)]
-        kh = kh * cosb + _rot_half(kh) * sinb
-        knew_ref[pl.ds(hh, 1)] = kh.reshape(1, bp, hd)
-        vh = qkv_buf[:, pl.ds(ho + kvh + hh * hd, hd)]
-        vnew_ref[pl.ds(hh, 1)] = vh.reshape(1, bp, hd)
+        cosb = cos_ref[...]
+        sinb = sin_ref[...]
+        for hh in range(heads):
+            qh = qkv_buf[:, pl.ds(hh * hd, hd)]
+            qh = qh * cosb + _rot_half(qh) * sinb
+            qh_buf[pl.ds(hh, 1)] = (qh * jnp.float32(q_scale)).reshape(
+                1, bp, hd)
+        for hh in range(hkv):
+            kh = qkv_buf[:, pl.ds(ho + hh * hd, hd)]
+            kh = kh * cosb + _rot_half(kh) * sinb
+            knew_ref[pl.ds(hh, 1)] = kh.reshape(1, bp, hd)
+            vh = qkv_buf[:, pl.ds(ho + kvh + hh * hd, hd)]
+            vnew_ref[pl.ds(hh, 1)] = vh.reshape(1, bp, hd)
 
-    slab_attention(
-        pk_ref, pv_ref, gk_ref, gv_ref, meta.ppp, meta.ppg,
-        alen_of=lambda b: jnp.where(b < true_batch, plens_s[b], 0),
-        blen_of=lambda b: jnp.where(b < true_batch, glens_s[b], 0),
-        with_current=True)
+        slab_attention(
+            pk_ref, pv_ref, gk_ref, gv_ref, meta.ppp, meta.ppg,
+            alen_of=lambda b: jnp.where(b < true_batch, plens_s[b], 0),
+            blen_of=lambda b: jnp.where(b < true_batch, glens_s[b], 0),
+            with_current=True)
 
-    heads_to_rows(ah_buf, heads, attn_buf)
-    a8, sa = _quant_rows(attn_buf[...])
-    kstream(ow_ref, os_row, a8, sa, ho, meta.o_tiled)
-    h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n1, eps)
+        heads_to_rows(ah_buf, heads, attn_buf)
+        a8, sa = _quant_rows(attn_buf[...])
+        kstream(ow_ref, os_row, a8, sa, ho, meta.o_tiled)
+        return h32 + _rms(acc_buf[:, pl.ds(0, d)], n1, eps)
 
     # ======================= phase 2: cross attention ====================
-    hn = _rms(h32, n2, eps)
-    x8, sx = _quant_rows(hn)
-    nstream(cqw_ref, cqs_row, x8, sx, qkv_buf, meta.cqn // WTILE,
-            awbuf, asem)
-    qcosb = qcos_ref[...]
-    qsinb = qsin_ref[...]
-    for hh in range(heads):
-        qh = qkv_buf[:, pl.ds(hh * hd, hd)]
-        qh = qh * qcosb + _rot_half(qh) * qsinb
-        qh_buf[pl.ds(hh, 1)] = (qh * jnp.float32(q_scale)).reshape(
-            1, bp, hd)
+    def phase_cross(h32):
+        hn = _rms(h32, n2, eps)
+        x8, sx = _quant_rows(hn)
+        nstream(cqw_ref, cqs_row, x8, sx, qkv_buf, meta.cqn // WTILE,
+                awbuf, asem)
+        qcosb = qcos_ref[...]
+        qsinb = qsin_ref[...]
+        for hh in range(heads):
+            qh = qkv_buf[:, pl.ds(hh * hd, hd)]
+            qh = qh * qcosb + _rot_half(qh) * qsinb
+            qh_buf[pl.ds(hh, 1)] = (qh * jnp.float32(q_scale)).reshape(
+                1, bp, hd)
 
-    slab_attention(
-        xk_ref, xv_ref, xk_ref, xv_ref, meta.ppx, 1,
-        alen_of=lambda b: jnp.where(b < true_batch,
-                                    jnp.maximum(elens_s[b], 1), 0),
-        blen_of=lambda b: jnp.int32(0),
-        with_current=False)
+        slab_attention(
+            xk_ref, xv_ref, xk_ref, xv_ref, meta.ppx, 1,
+            alen_of=lambda b: jnp.where(b < true_batch,
+                                        jnp.maximum(elens_s[b], 1), 0),
+            blen_of=lambda b: jnp.int32(0),
+            with_current=False)
 
-    heads_to_rows(ah_buf, heads, attn_buf)
-    a8, sa = _quant_rows(attn_buf[...])
-    kstream(cow_ref, cos_row, a8, sa, ho, meta.o_tiled)
-    h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n3, eps)
+        heads_to_rows(ah_buf, heads, attn_buf)
+        a8, sa = _quant_rows(attn_buf[...])
+        kstream(cow_ref, cos_row, a8, sa, ho, meta.o_tiled)
+        return h32 + _rms(acc_buf[:, pl.ds(0, d)], n3, eps)
 
     # ======================= phase 3: GeGLU MLP ==========================
+    h32 = h_ref[...].astype(jnp.float32)
+    if "self" in phases:
+        h32 = phase_self(h32)
+    else:
+        knew_ref[...] = jnp.zeros_like(knew_ref[...])
+        vnew_ref[...] = jnp.zeros_like(vnew_ref[...])
+    if "cross" in phases:
+        h32 = phase_cross(h32)
+    if "mlp" not in phases:
+        hout_ref[...] = h32.astype(hout_ref.dtype)
+        return
     hn = _rms(h32, n4, eps)
     x8, sx = _quant_rows(hn)
     f = meta.f
@@ -441,6 +465,11 @@ def _kernel(
     gu_start(0, 0)
     dn_start(0, 0)
 
+    # stage the gate/up scale row in VMEM: the per-tile slices below must
+    # be REF reads — lane-offset VALUE slices cannot broadcast (Mosaic
+    # "Invalid input layout", same class as nstream's deferred scale)
+    gs_buf[...] = gus_row
+
     acc = jnp.zeros((x8.shape[0], meta.dp), jnp.float32)
     for j in range(n_ff):                  # python-unrolled (static tiles)
         slot = j % 2
@@ -465,8 +494,8 @@ def _kernel(
         ui = jax.lax.dot_general(
             x8, ublk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        sg = gus_row[:, j * ftile:(j + 1) * ftile]
-        su = gus_row[:, f + j * ftile:f + (j + 1) * ftile]
+        sg = gs_buf[:, j * ftile:(j + 1) * ftile]
+        su = gs_buf[:, f + j * ftile:f + (j + 1) * ftile]
         gf = gi.astype(jnp.float32) * sx * sg
         uf = ui.astype(jnp.float32) * sx * su
         t = jax.nn.gelu(gf, approximate=True) * uf        # [BP, ftile] f32
@@ -521,11 +550,11 @@ def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("dims_key", "true_batch", "eps", "soft_cap", "q_scale",
-                     "interpret"),
+                     "interpret", "phases"),
 )
 def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
           li, plens, glens, elens, *, dims_key, true_batch, eps, soft_cap,
-          q_scale, interpret):
+          q_scale, interpret, phases=("self", "cross", "mlp")):
     (bp, d, heads, hkv, hd) = dims_key
     qkvw, ow, cqw, cow, guw, dnw = weights
     pk, pv, gk, gv, xk, xv = slabs
@@ -551,7 +580,7 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
     kernel = functools.partial(
         _kernel, meta=meta, true_batch=true_batch, hidden=d, heads=heads,
         kv_heads=hkv, head_dim=hd, eps=eps, soft_cap=soft_cap,
-        q_scale=q_scale)
+        q_scale=q_scale, phases=phases)
 
     n_layers = qkvw.shape[0]
 
@@ -598,6 +627,8 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
             pltpu.VMEM((heads, bp, hd), jnp.float32),
             pltpu.VMEM((2, hkv, TBLOCK, hd), pk.dtype),
             pltpu.VMEM((2, hkv, TBLOCK, hd), pv.dtype),
+            pltpu.VMEM((bp, ho), jnp.int8),
+            pltpu.VMEM((1, gus.shape[-1]), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -644,7 +675,8 @@ def _pad_rows(x, bp):
 def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
                  li, plens, glens, elens, prompt_k, prompt_v,
                  gen_k, gen_v, cross_k, cross_v,
-                 interpret: bool = False):
+                 interpret: bool = False,
+                 phases: tuple = ("self", "cross", "mlp")):
     """Run decoder layer ``li`` through the megakernel.
 
     h: [B, D]; cos/sin/qcos/qsin: [B, hd]; slabs are the cache's raw
@@ -682,7 +714,7 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
         _pad_rows(elens, bp),
         dims_key=dims_key, true_batch=b, eps=dims.rms_norm_eps,
         soft_cap=dims.attn_logit_softcap,
-        q_scale=float(dims.q_scale), interpret=interpret)
+        q_scale=float(dims.q_scale), interpret=interpret, phases=phases)
     # head-major [Hkv, BP, hd] -> engine layout [B, Hkv, hd]
     return (hout[:b], knew.transpose(1, 0, 2)[:b],
             vnew.transpose(1, 0, 2)[:b])

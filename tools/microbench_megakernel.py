@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--enc", type=int, default=128)
     ap.add_argument("--fill", type=float, default=0.5)
     ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--ff", type=int, default=None,
+                    help="override intermediate_size (compile-scaling probes)")
+    ap.add_argument("--phases", default="self,cross,mlp",
+                    help="comma list of kernel phases (bring-up bisection)")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +46,8 @@ def main():
     base_dims = backbone_preset("2b-2b").decoder
     dims = dataclasses.replace(
         base_dims, num_layers=args.layers,
-        layer_types=base_dims.layer_types[: args.layers])
+        layer_types=base_dims.layer_types[: args.layers],
+        **({"intermediate_size": args.ff} if args.ff else {}))
     l, d, h, hkv, hd = (args.layers, dims.hidden_size, dims.num_heads,
                         dims.num_kv_heads, dims.head_dim)
     ho, f = h * hd, dims.intermediate_size
@@ -84,23 +89,29 @@ def main():
     elens = jnp.full((b,), args.enc, jnp.int32)
     glens = jnp.full((b,), int(args.gen * args.fill), jnp.int32)
 
+    # layers/slabs MUST be jit ARGUMENTS: closed-over trees bake into the
+    # program as constants and ship to the remote compile service in the
+    # request body (measured: HTTP 413 at 2 layers of weights)
     @jax.jit
-    def run(hbuf, li):
+    def run_fn(layers, slabs, hbuf, li):
         return mk.decode_layer(
             layers, dims, h=hbuf, cos=cos, sin=sin, qcos=cos, qsin=sin,
             li=li, plens=plens, glens=glens, elens=elens,
             prompt_k=slabs["prompt_k"], prompt_v=slabs["prompt_v"],
             gen_k=slabs["gen_k"], gen_v=slabs["gen_v"],
-            cross_k=slabs["cross_k"], cross_v=slabs["cross_v"])
+            cross_k=slabs["cross_k"], cross_v=slabs["cross_v"],
+            phases=tuple(args.phases.split(",")))
 
     t0 = time.time()
-    compiled = run.lower(hbuf, jnp.int32(0)).compile()
+    compiled = run_fn.lower(layers, slabs, hbuf, jnp.int32(0)).compile()
     print(f"compile: {time.time() - t0:.1f} s", flush=True)
     t0 = time.time()
-    out = compiled(hbuf, jnp.int32(0))
+    out = compiled(layers, slabs, hbuf, jnp.int32(0))
     np.asarray(out[0]).reshape(-1)[:2]
     print(f"first run: {time.time() - t0:.1f} s", flush=True)
-    run = compiled
+
+    def run(hbuf, li):
+        return compiled(layers, slabs, hbuf, li)
 
     # chained timing (data dependency forces sequential execution)
     t0 = time.time()
