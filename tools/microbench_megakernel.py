@@ -91,35 +91,48 @@ def main():
 
     # layers/slabs MUST be jit ARGUMENTS: closed-over trees bake into the
     # program as constants and ship to the remote compile service in the
-    # request body (measured: HTTP 413 at 2 layers of weights)
-    @jax.jit
-    def run_fn(layers, slabs, hbuf, li):
-        return mk.decode_layer(
-            layers, dims, h=hbuf, cos=cos, sin=sin, qcos=cos, qsin=sin,
-            li=li, plens=plens, glens=glens, elens=elens,
-            prompt_k=slabs["prompt_k"], prompt_v=slabs["prompt_v"],
-            gen_k=slabs["gen_k"], gen_v=slabs["gen_v"],
-            cross_k=slabs["cross_k"], cross_v=slabs["cross_v"],
-            phases=tuple(args.phases.split(",")))
+    # request body (measured: HTTP 413 at 2 layers of weights).
+    # Timing is MARGINAL over an IN-JIT chained loop: per-dispatch cost on
+    # the tunneled axon terminal is ~5-12 ms (each host call ships fresh
+    # scalars over the wire), which swamped per-layer times when this
+    # bench chained separate dispatches.
+    phases = tuple(args.phases.split(","))
 
-    t0 = time.time()
-    compiled = run_fn.lower(layers, slabs, hbuf, jnp.int32(0)).compile()
-    print(f"compile: {time.time() - t0:.1f} s", flush=True)
-    t0 = time.time()
-    out = compiled(layers, slabs, hbuf, jnp.int32(0))
-    np.asarray(out[0]).reshape(-1)[:2]
-    print(f"first run: {time.time() - t0:.1f} s", flush=True)
+    def make_loop(iters):
+        @jax.jit
+        def loop(layers, slabs, hbuf):
+            def body(i, h):
+                h2, _, _ = mk.decode_layer(
+                    layers, dims, h=h, cos=cos, sin=sin, qcos=cos,
+                    qsin=sin, li=jax.lax.rem(i, args.layers),
+                    plens=plens, glens=glens, elens=elens,
+                    prompt_k=slabs["prompt_k"], prompt_v=slabs["prompt_v"],
+                    gen_k=slabs["gen_k"], gen_v=slabs["gen_v"],
+                    cross_k=slabs["cross_k"], cross_v=slabs["cross_v"],
+                    phases=phases)
+                return h2
+            return jax.lax.fori_loop(0, iters, body, hbuf)
+        return loop
 
-    def run(hbuf, li):
-        return compiled(layers, slabs, hbuf, li)
+    def timed(loop):
+        out = loop(layers, slabs, hbuf)
+        jax.block_until_ready(out)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(layers, slabs, hbuf))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    # chained timing (data dependency forces sequential execution)
+    n1 = args.iters
     t0 = time.time()
-    hcur = hbuf
-    for i in range(args.iters):
-        hcur, _, _ = run(hcur, jnp.int32(i % args.layers))
-    np.asarray(hcur).reshape(-1)[:2]
-    dt = (time.time() - t0) / args.iters
+    loop1 = make_loop(n1)
+    loop4 = make_loop(4 * n1)
+    t1 = timed(loop1)
+    print(f"compile+loop{n1}: {time.time() - t0:.1f} s "
+          f"(loop body {t1/n1*1e3:.3f} ms incl dispatch)", flush=True)
+    t4 = timed(loop4)
+    dt = max(t4 - t1, 1e-9) / (3 * n1)
     per_layer_bytes = sum(
         int(np.prod(w.values.shape))
         for grp in ("self_attn", "cross_attn", "mlp")
