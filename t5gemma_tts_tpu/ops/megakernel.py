@@ -56,6 +56,7 @@ _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 WTILE = 512          # weight tile width (matches ops/quant.py N_TILE)
 TBLOCK = 128         # attention time-block (= models/t5gemma.py PAGE_SIZE)
+CHUNK = 2            # weight tiles per DMA (amortizes ~2.4 us start cost)
 
 
 def _rms(x32, w32, eps):
@@ -113,8 +114,8 @@ def _kernel(
     knew_ref, vnew_ref,       # [Hkv, BP, hd] f32 (head-major; also serves
                               # as the in-flight k/v the attention reads)
     # scratch
-    awbuf, bwbuf,             # [2, D, WTILE] int8 (N-tile streams)
-    kwbuf,                    # [2, WTILE, DP] int8 (K-tile streams)
+    awbuf, bwbuf,             # [2, CHUNK, D, WTILE] int8 (N-tile streams)
+    kwbuf,                    # [2, CHUNK, WTILE, DP] int8 (K-tile streams)
     qkv_buf,                  # [BP, NQKV] f32
     attn_buf,                 # [BP, HO] f32
     acc_buf,                  # [BP, DP] f32
@@ -151,46 +152,62 @@ def _kernel(
             return x
         return jnp.tanh(x / soft_cap) * soft_cap
 
-    # hoist this layer's norm/scale rows ONCE (dynamic-sublane VMEM reads
-    # are expensive to compile; per-tile slices below are then static
-    # slices of these values)
-    n0 = n0_ref[pl.ds(li, 1), :]
-    n1 = n1_ref[pl.ds(li, 1), :]
-    n2 = n2_ref[pl.ds(li, 1), :]
-    n3 = n3_ref[pl.ds(li, 1), :]
-    n4 = n4_ref[pl.ds(li, 1), :]
-    n5 = n5_ref[pl.ds(li, 1), :]
-    qkvs_row = qkvs_ref[pl.ds(li, 1), :]
-    os_row = os_ref[pl.ds(li, 1), :]
-    cqs_row = cqs_ref[pl.ds(li, 1), :]
-    cos_row = cos_s_ref[pl.ds(li, 1), :]
-    gus_row = gus_ref[pl.ds(li, 1), :]
-    dns_row = dns_ref[pl.ds(li, 1), :]
+    # this layer's norm/scale rows arrive PRE-SLICED [1, n] (decode_layer
+    # slices the [L, n] tables in XLA): in-kernel dynamic-sublane reads
+    # were expensive to compile AND shipping whole [L, n] tables into VMEM
+    # cost ~6 MB per launch at 26 layers
+    n0 = n0_ref[...]
+    n1 = n1_ref[...]
+    n2 = n2_ref[...]
+    n3 = n3_ref[...]
+    n4 = n4_ref[...]
+    n5 = n5_ref[...]
+    qkvs_row = qkvs_ref[...]
+    os_row = os_ref[...]
+    cqs_row = cqs_ref[...]
+    cos_row = cos_s_ref[...]
+    gus_row = gus_ref[...]
+    dns_row = dns_ref[...]
 
     # ---- streamed matmuls ----------------------------------------------
     # Weight-tile DMAs move FULL trailing dims of tile-major layouts
     # (ops/quant.retile_for_streaming): a lane-sliced HBM DMA hangs the
     # terminal at run time (bisected with minimal probes).
     def nstream(w_any, s_row, x8, sx, out_vmem, n_tiles, wbuf, wsem):
-        """out[:, jT:(j+1)T] = (x8 @ w_tiled[li, j]) * sx * scale;
-        w_any is "tiled_n" [L, NT, K, T]. The tile loop is PYTHON-unrolled:
-        Mosaic has no dynamic_slice on values, so tile offsets must be
-        static (n_tiles is a compile-time constant)."""
-        def start(j, slot):
-            pltpu.make_async_copy(w_any.at[li, j], wbuf.at[slot],
-                                  wsem.at[slot]).start()
+        """out[:, jT:(j+1)T] = (x8 @ w_tiled[li*NT + j]) * sx * scale;
+        w_any is "tiled_n" FLATTENED to [L*NT, K, T]. Consecutive tiles
+        move in CHUNKS of up to CHUNK per DMA: a dynamically addressed
+        start costs ~2.4 us of scalar-core work (measured; flat indexing
+        alone did not help) vs ~1.4 us of wire time per [2304, 512] int8
+        tile, so per-tile DMAs left the HBM stream idle more than half the
+        time. The loop is PYTHON-unrolled: Mosaic has no dynamic_slice on
+        values, so tile offsets must be static."""
+        base = li * n_tiles
+        n_chunks = -(-n_tiles // CHUNK)
+
+        def gsize(c):
+            return min(CHUNK, n_tiles - CHUNK * c)
+
+        def start(c, slot):
+            pltpu.make_async_copy(
+                w_any.at[pl.ds(base + CHUNK * c, gsize(c))],
+                wbuf.at[slot, pl.ds(0, gsize(c))], wsem.at[slot]).start()
 
         start(0, 0)
-        for j in range(n_tiles):
-            slot = j % 2
-            if j + 1 < n_tiles:
-                start(j + 1, (j + 1) % 2)
-            pltpu.make_async_copy(w_any.at[li, j], wbuf.at[slot],
-                                  wsem.at[slot]).wait()
-            acc = jax.lax.dot_general(
-                x8, wbuf[slot], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            out_vmem[:, j * WTILE:(j + 1) * WTILE] = acc.astype(jnp.float32)
+        for c in range(n_chunks):
+            slot = c % 2
+            if c + 1 < n_chunks:
+                start(c + 1, (c + 1) % 2)
+            pltpu.make_async_copy(
+                w_any.at[pl.ds(base + CHUNK * c, gsize(c))],
+                wbuf.at[slot, pl.ds(0, gsize(c))], wsem.at[slot]).wait()
+            for g in range(gsize(c)):
+                j = CHUNK * c + g
+                acc = jax.lax.dot_general(
+                    x8, wbuf[slot, g], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                out_vmem[:, j * WTILE:(j + 1) * WTILE] = (
+                    acc.astype(jnp.float32))
         # scale ONCE over the whole written span: a per-tile VALUE slice of
         # s_row carries its lane offset in the Mosaic layout and the [1,T]
         # -> [BP,T] broadcast from a non-zero lane offset is rejected
@@ -206,43 +223,57 @@ def _kernel(
         dims where K < WTILE."""
         ktile = WTILE if tiled else (WTILE if k_size % WTILE == 0 else k_size)
         n_tiles = k_size // ktile
+        base = li * n_tiles          # tiled_k is flattened [L*KT, T, DP]
+        # K-tiles stream in CHUNKs too (same start-cost amortization as
+        # nstream); the kn fallback stays per-tile (interpret-only dims)
+        ck = CHUNK if tiled else 1
+        n_chunks = -(-n_tiles // ck)
         # stage the quantized activations in VMEM so per-tile operands are
         # REF reads (clean layout); lane-offset VALUE slices feeding the
         # MXU hit the same Mosaic "Invalid input layout" class as nstream's
         # scale broadcast
         x8_buf[:, :k_size] = x8
 
-        def start(t, slot):
+        def gsize(c):
+            return min(ck, n_tiles - ck * c)
+
+        def start(c, slot):
             if tiled:
-                pltpu.make_async_copy(w_any.at[li, t], kwbuf.at[slot],
-                                      ksem2.at[slot]).start()
+                pltpu.make_async_copy(
+                    w_any.at[pl.ds(base + ck * c, gsize(c))],
+                    kwbuf.at[slot, pl.ds(0, gsize(c))],
+                    ksem2.at[slot]).start()
             else:
                 pltpu.make_async_copy(
-                    w_any.at[li, pl.ds(t * ktile, ktile), :],
-                    kwbuf.at[slot, pl.ds(0, ktile), :],
+                    w_any.at[li, pl.ds(c * ktile, ktile), :],
+                    kwbuf.at[slot, 0, pl.ds(0, ktile), :],
                     ksem2.at[slot]).start()
 
-        def wait(t, slot):
+        def wait(c, slot):
             if tiled:
-                pltpu.make_async_copy(w_any.at[li, t], kwbuf.at[slot],
-                                      ksem2.at[slot]).wait()
+                pltpu.make_async_copy(
+                    w_any.at[pl.ds(base + ck * c, gsize(c))],
+                    kwbuf.at[slot, pl.ds(0, gsize(c))],
+                    ksem2.at[slot]).wait()
             else:
-                pltpu.make_async_copy(w_any.at[li, pl.ds(t * ktile, ktile), :],
-                                      kwbuf.at[slot, pl.ds(0, ktile), :],
+                pltpu.make_async_copy(w_any.at[li, pl.ds(c * ktile, ktile), :],
+                                      kwbuf.at[slot, 0, pl.ds(0, ktile), :],
                                       ksem2.at[slot]).wait()
 
         start(0, 0)
         acc32 = jnp.zeros((x8.shape[0], meta.dp), jnp.int32)
-        for t in range(n_tiles):
-            slot = t % 2
-            if t + 1 < n_tiles:
-                start(t + 1, (t + 1) % 2)
-            wait(t, slot)
-            xt = x8_buf[:, t * ktile:(t + 1) * ktile]
-            acc32 = acc32 + jax.lax.dot_general(
-                xt, kwbuf[slot, pl.ds(0, ktile), :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+        for c in range(n_chunks):
+            slot = c % 2
+            if c + 1 < n_chunks:
+                start(c + 1, (c + 1) % 2)
+            wait(c, slot)
+            for g in range(gsize(c)):
+                t = ck * c + g
+                xt = x8_buf[:, t * ktile:(t + 1) * ktile]
+                acc32 = acc32 + jax.lax.dot_general(
+                    xt, kwbuf[slot, g, pl.ds(0, ktile), :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
         acc_buf[...] = acc32.astype(jnp.float32) * sx * s_row
 
     # ---- flash attention over dense cache slabs ------------------------
@@ -441,29 +472,50 @@ def _kernel(
     n_ff = f // ftile
     f_tiles = f // WTILE if aligned else 1
 
-    def gu_start(j, slot):
+    # gate_up is "tiled_n" flattened [L*NGU, K, T]; NGU = 2*f_tiles when
+    # aligned (gate tiles then up tiles), else 1 padded tile holding both
+    n_gu = 2 * f_tiles if aligned else 1
+    gu_base = li * n_gu
+    dn_base = li * n_ff              # tiled_k flattened [L*KT, T, DP]
+    cg = CHUNK if aligned else 1          # gate/up tiles per DMA
+    cd = CHUNK if meta.dn_tiled else 1    # down K-tiles per DMA
+    ngu_ch = -(-n_ff // cg)
+    ndn_ch = -(-n_ff // cd)
+
+    def gu_size(c):
+        return min(cg, n_ff - cg * c)
+
+    def dn_size(c):
+        return min(cd, n_ff - cd * c)
+
+    def gu_copies(c, slot):
         if aligned:
-            # gate tile j and up tile (f_tiles + j) of the tiled_n layout
-            pltpu.make_async_copy(guw_ref.at[li, j], awbuf.at[slot],
-                                  asem.at[slot]).start()
-            pltpu.make_async_copy(guw_ref.at[li, f_tiles + j],
-                                  bwbuf.at[slot], bsem.at[slot]).start()
-        else:
-            # tiny dims: gate AND up live inside the single padded tile
-            pltpu.make_async_copy(guw_ref.at[li, 0], awbuf.at[slot],
-                                  asem.at[slot]).start()
+            # gate chunk [cg*c, ...) and the matching up chunk (offset
+            # f_tiles) of the tiled_n layout, one DMA each
+            return (
+                pltpu.make_async_copy(
+                    guw_ref.at[pl.ds(gu_base + cg * c, gu_size(c))],
+                    awbuf.at[slot, pl.ds(0, gu_size(c))], asem.at[slot]),
+                pltpu.make_async_copy(
+                    guw_ref.at[pl.ds(gu_base + f_tiles + cg * c, gu_size(c))],
+                    bwbuf.at[slot, pl.ds(0, gu_size(c))], bsem.at[slot]),
+            )
+        # tiny dims: gate AND up live inside the single padded tile
+        return (pltpu.make_async_copy(guw_ref.at[gu_base], awbuf.at[slot, 0],
+                                      asem.at[slot]),)
 
-    def dn_start(j, slot):
+    def dn_copy(c, slot):
         if meta.dn_tiled:
-            pltpu.make_async_copy(dnw_ref.at[li, j], kwbuf.at[slot],
-                                  ksem2.at[slot]).start()
-        else:
-            pltpu.make_async_copy(
-                dnw_ref.at[li, pl.ds(j * ftile, ftile), :],
-                kwbuf.at[slot, pl.ds(0, ftile), :], ksem2.at[slot]).start()
+            return pltpu.make_async_copy(
+                dnw_ref.at[pl.ds(dn_base + cd * c, dn_size(c))],
+                kwbuf.at[slot, pl.ds(0, dn_size(c))], ksem2.at[slot])
+        return pltpu.make_async_copy(
+            dnw_ref.at[li, pl.ds(c * ftile, ftile), :],
+            kwbuf.at[slot, 0, pl.ds(0, ftile), :], ksem2.at[slot])
 
-    gu_start(0, 0)
-    dn_start(0, 0)
+    for cp in gu_copies(0, 0):
+        cp.start()
+    dn_copy(0, 0).start()
 
     # stage the gate/up scale row in VMEM: the per-tile slices below must
     # be REF reads — lane-offset VALUE slices cannot broadcast (Mosaic
@@ -472,22 +524,26 @@ def _kernel(
 
     acc = jnp.zeros((x8.shape[0], meta.dp), jnp.float32)
     for j in range(n_ff):                  # python-unrolled (static tiles)
-        slot = j % 2
-        if j + 1 < n_ff:
-            nxt = (j + 1) % 2
-            gu_start(j + 1, nxt)
-            dn_start(j + 1, nxt)
-
-        pltpu.make_async_copy(guw_ref.at[li, 0], awbuf.at[slot],
-                              asem.at[slot]).wait()
+        cgu, ggu = divmod(j, cg)
+        cdn, gdn = divmod(j, cd)
+        sgu = cgu % 2
+        sdn = cdn % 2
+        if ggu == 0:
+            if cgu + 1 < ngu_ch:
+                for cp in gu_copies(cgu + 1, (cgu + 1) % 2):
+                    cp.start()
+            for cp in gu_copies(cgu, sgu):
+                cp.wait()
+        if gdn == 0:
+            if cdn + 1 < ndn_ch:
+                dn_copy(cdn + 1, (cdn + 1) % 2).start()
+            dn_copy(cdn, sdn).wait()
         if aligned:
-            pltpu.make_async_copy(guw_ref.at[li, 0], bwbuf.at[slot],
-                                  bsem.at[slot]).wait()
-            gblk = awbuf[slot]
-            ublk = bwbuf[slot]
+            gblk = awbuf[sgu, ggu]
+            ublk = bwbuf[sgu, ggu]
         else:
-            gblk = awbuf[slot, :, :f]
-            ublk = awbuf[slot, :, f:2 * f]
+            gblk = awbuf[sgu, 0, :, :f]
+            ublk = awbuf[sgu, 0, :, f:2 * f]
         gi = jax.lax.dot_general(
             x8, gblk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -500,15 +556,8 @@ def _kernel(
         uf = ui.astype(jnp.float32) * sx * su
         t = jax.nn.gelu(gf, approximate=True) * uf        # [BP, ftile] f32
         t8, st = _quant_rows(t)                            # per-tile scales
-        if meta.dn_tiled:
-            pltpu.make_async_copy(dnw_ref.at[li, j], kwbuf.at[slot],
-                                  ksem2.at[slot]).wait()
-        else:
-            pltpu.make_async_copy(dnw_ref.at[li, pl.ds(j * ftile, ftile), :],
-                                  kwbuf.at[slot, pl.ds(0, ftile), :],
-                                  ksem2.at[slot]).wait()
         di = jax.lax.dot_general(
-            t8, kwbuf[slot, pl.ds(0, ftile), :], (((1,), (0,)), ((), ())),
+            t8, kwbuf[sdn, gdn, pl.ds(0, ftile), :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         acc = acc + di.astype(jnp.float32) * st
     mlp_out = acc * dns_row
@@ -570,6 +619,17 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
     meta = _Meta(nqkv=nqkv, cqn=cqn, ho=ho, dp=dp, f=f,
                  ppp=t_p // TBLOCK, ppg=t_g // TBLOCK, ppx=t_x // TBLOCK,
                  o_tiled=o_tiled, dn_tiled=dn_tiled)
+
+    # flatten tile-major weights so every in-kernel DMA uses ONE dynamic
+    # leading index ([L, NT, K, T] -> [L*NT, K, T], [L, KT, T, DP] ->
+    # [L*KT, T, DP]): the [li, j] double-index forced per-start descriptor
+    # recomputation (leading-dim merge is a free bitcast for the
+    # contiguous layout)
+    def flat(w):
+        return w.reshape((-1,) + w.shape[2:]) if w.ndim == 4 else w
+
+    qkvw, ow, cqw, cow, guw, dnw = (
+        flat(w) for w in (qkvw, ow, cqw, cow, guw, dnw))
     # pages views: [Hkv, L*B, T, hd] -> [Hkv, NP, TBLOCK, hd] (free)
     def pview(buf):
         hkv_, lb, t, hd_ = buf.shape
@@ -584,16 +644,18 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
 
     n_layers = qkvw.shape[0]
 
-    def li_block(n):
-        # whole [L, n] array resident in VMEM; the kernel dynamic-slices
-        # row li (a (1, n) block would violate Mosaic's sublane tiling)
-        return pl.BlockSpec((n_layers, n), lambda i, *_: (0, 0))
-
     def full(*shape):
         return pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    # slice this layer's norm/scale rows in XLA (cheap fused gathers);
+    # the kernel then reads [1, n] blocks statically
+    li32 = li.astype(jnp.int32)
+    norms = tuple(jax.lax.dynamic_slice_in_dim(t, li32, 1, 0)
+                  for t in norms)
+    scales = tuple(jax.lax.dynamic_slice_in_dim(t, li32, 1, 0)
+                   for t in scales)
     n0, n1, n2, n3, n4, n5 = norms
     qkvs, os_, cqs, cos_s, gus, dns = scales
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -603,13 +665,12 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
             full(bp, d),
             full(bp, hd), full(bp, hd),
             full(bp, hd), full(bp, hd),
-            *[li_block(d) for _ in range(6)],
+            *[full(1, d) for _ in range(6)],
             # scale widths come from the scale tables themselves (the
             # tiled weight shapes no longer carry the padded width)
-            li_block(qkvs.shape[-1]), li_block(os_.shape[-1]),
-            li_block(cqs.shape[-1]), li_block(cos_s.shape[-1]),
-            li_block(gus.shape[-1]), li_block(dns.shape[-1]),
-            # (scale tables total ~4.8 MB f32 in VMEM at 2b-2b dims)
+            full(1, qkvs.shape[-1]), full(1, os_.shape[-1]),
+            full(1, cqs.shape[-1]), full(1, cos_s.shape[-1]),
+            full(1, gus.shape[-1]), full(1, dns.shape[-1]),
             *[any_spec] * 12,
         ],
         out_specs=[
@@ -617,9 +678,9 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
             full(hkv, bp, hd), full(hkv, bp, hd),
         ],
         scratch_shapes=(
-            pltpu.VMEM((2, d, WTILE), jnp.int8),
-            pltpu.VMEM((2, d, WTILE), jnp.int8),
-            pltpu.VMEM((2, WTILE, dp), jnp.int8),
+            pltpu.VMEM((2, CHUNK, d, WTILE), jnp.int8),
+            pltpu.VMEM((2, CHUNK, d, WTILE), jnp.int8),
+            pltpu.VMEM((2, CHUNK, WTILE, dp), jnp.int8),
             pltpu.VMEM((bp, nqkv), jnp.float32),
             pltpu.VMEM((bp, ho), jnp.float32),
             pltpu.VMEM((bp, dp), jnp.float32),
@@ -647,6 +708,10 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # chunked double-buffered weight streams put ~18 MB of scratch
+            # in VMEM (awbuf/bwbuf/kwbuf at CHUNK=2); raise the scoped
+            # limit past the 16 MB default
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+# no persistent XLA compilation cache under pytest: test compiles are tiny,
+# and concurrent cache writes from parallel processes sharing the default
+# dir intermittently SEGFAULT inside jax's executable serializer
+# (observed in train-CLI e2e: put_executable_and_time -> hard crash)
+os.environ.setdefault("T5GEMMA_TTS_COMPILE_CACHE", "off")
 
 # jax may already be imported (but not initialized) at interpreter startup;
 # force flags through the config API as well.
