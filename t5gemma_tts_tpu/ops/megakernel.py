@@ -56,7 +56,18 @@ _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 WTILE = 512          # weight tile width (matches ops/quant.py N_TILE)
 TBLOCK = 128         # attention time-block (= models/t5gemma.py PAGE_SIZE)
-CHUNK = 2            # weight tiles per DMA (amortizes ~2.4 us start cost)
+CHUNK = 2            # weight tiles per DMA (amortizes ~2.4 us start cost).
+                     # Negative results, both measured at batch 64 serving
+                     # dims: CHUNK=4 is WORSE (0.358 vs 0.316 ms/layer —
+                     # the o/co/qkv streams collapse to 1-2 chunks and lose
+                     # all DMA/MXU overlap); an XLA-precomputed flat block
+                     # schedule for the attention walk with a 4-slot ring
+                     # and 3-deep page prefetch was NEUTRAL (0.317) while
+                     # 6x-ing Mosaic compile time (502 s vs 81 s) — the
+                     # per-row 2-slot page walk already keeps the HBM
+                     # stream busy. 0.316 ms/layer = ~680 GB/s effective,
+                     # ~83% of v5e peak; further gains need fewer bytes
+                     # (int4 weights / int8 KV), not better scheduling.
 
 
 def _rms(x32, w32, eps):
