@@ -517,11 +517,15 @@ def _fused_attn_mode(dims: "ModuleDims") -> int:
 
     T5G_FUSED_ATTN: "0" two-kernel + merge; "1" v1 (per-(row, kv-head)
     grid — measured 21.8 vs 19.5 ms/step at batch 64, kept only for A/B);
-    "2"/default v2 ``fused_layer_attention`` (batch-only grid, all-head page
-    DMAs, cross attention folded in, cross-cell DMA pipelining)."""
+    "2" v2 ``fused_layer_attention`` (batch-only grid, all-head page
+    DMAs, cross attention folded in, cross-cell DMA pipelining); "3" the
+    per-layer megakernel. Default: 3 on TPU (falls back to 2 per config
+    via megakernel.supports), 2 elsewhere — the CPU suite would otherwise
+    run EVERY decode test through the (slow) interpreter megakernel."""
     import os
 
-    mode = int(os.environ.get("T5G_FUSED_ATTN", "2"))
+    default = "3" if jax.default_backend() == "tpu" else "2"
+    mode = int(os.environ.get("T5G_FUSED_ATTN", default))
     # "3": per-layer megakernel (ops/megakernel.py) — int8 weights +
     # both attentions + norms in ONE pallas_call per layer; falls back
     # when megakernel.supports() is false for the config. Allowed off-TPU
@@ -751,15 +755,17 @@ def paged_decode_step(
     fused_mode = _fused_attn_mode(dims)
     interp = False
     if cache.gen_k.dtype == jnp.int8:
-        # int8 pages dequantize inside the batch kernel only; off-TPU the
-        # kernel runs in interpreter mode (tiny test configs)
+        # int8 pages dequantize inside the batch kernel (mode 2) or the
+        # megakernel (mode 3) only; off-TPU the kernels run in interpreter
+        # mode (tiny test configs)
         if (jax.default_backend() == "tpu"
                 and (dims.head_dim % 128 != 0 or dims.num_heads % 8 != 0)):
             raise ValueError(
                 "kv_cache='paged_i8' needs head_dim % 128 == 0 and "
                 f"num_heads % 8 == 0 on TPU (got hd={dims.head_dim}, "
                 f"H={dims.num_heads}); use 'paged' or 'dense'")
-        fused_mode = 2
+        if fused_mode != 3:
+            fused_mode = 2
         interp = jax.default_backend() != "tpu"
     b = inputs_embeds.shape[0]
     h = inputs_embeds * jnp.asarray(
@@ -821,9 +827,13 @@ def paged_decode_step(
         from ..ops import megakernel as mk
 
         if not mk.supports(params["layers"], dims, cache):
-            fused_mode = 2 if (jax.default_backend() == "tpu"
-                               and dims.head_dim % 128 == 0
-                               and dims.num_heads % 8 == 0) else 0
+            if cache.gen_k.dtype == jnp.int8:
+                fused_mode = 2      # int8 needs the batch kernel (interp
+                                    # covers it off-TPU)
+            else:
+                fused_mode = 2 if (jax.default_backend() == "tpu"
+                                   and dims.head_dim % 128 == 0
+                                   and dims.num_heads % 8 == 0) else 0
     if fused_mode == 3:
         # per-layer megakernel: the whole layer (int8 matmuls + rope + both
         # attentions + norms) is one pallas_call over the dense cache slabs
@@ -833,6 +843,15 @@ def paged_decode_step(
             qc1, qs1 = q_cos[:, 0], q_sin[:, 0]
         else:
             qc1, qs1 = cos1, sin1
+        # int8 pages: ship the cache's per-token scale planes (gen planes
+        # are the freshly flushed ones); the kernel stages each layer's
+        # slabs in ONE DMA per plane and dequantizes at the logits/p
+        kv_scales3 = None
+        if cache.gen_k.dtype == jnp.int8:
+            kv_scales3 = (cache.prompt_k_scale, cache.prompt_v_scale,
+                          gks, gvs,
+                          cache.cross_k_scale, cache.cross_v_scale)
+
         def body3(carry, li):
             hout, k_new, v_new = mk.decode_layer(
                 params["layers"], dims, h=carry, cos=cos1, sin=sin1,
@@ -842,6 +861,7 @@ def paged_decode_step(
                 prompt_k=cache.prompt_k, prompt_v=cache.prompt_v,
                 gen_k=gk, gen_v=gv,
                 cross_k=cache.cross_k, cross_v=cache.cross_v,
+                kv_scales=kv_scales3,
                 interpret=interp3)
             return hout, (k_new, v_new)
 

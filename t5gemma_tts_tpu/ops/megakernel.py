@@ -117,9 +117,12 @@ def _kernel(
     n0_ref, n1_ref, n2_ref, n3_ref, n4_ref, n5_ref,   # [L, D] f32 norms
     qkvs_ref, os_ref, cqs_ref, cos_s_ref, gus_ref, dns_ref,  # [L, N] scales
     qkvw_ref, ow_ref, cqw_ref, cow_ref, guw_ref, dnw_ref,    # ANY int8
-    pk_ref, pv_ref,           # [Hkv, L*B, Wp, hd] bf16 (ANY)
+    pk_ref, pv_ref,           # [Hkv, L*B, Wp, hd] bf16/int8 (ANY)
     gk_ref, gv_ref,           # [Hkv, L*B, Tg, hd]
     xk_ref, xv_ref,           # [Hkv, L*B, Tx, hd]
+    pks_ref, pvs_ref,         # [Hkv, NPp, TBLOCK] f32 scale pages (ANY;
+    gks_ref, gvs_ref,         # dummy [1, 1, 1] when kv_quant is False)
+    xks_ref, xvs_ref,
     # outputs
     hout_ref,                 # [BP, D] f32
     knew_ref, vnew_ref,       # [Hkv, BP, hd] f32 (head-major; also serves
@@ -137,7 +140,9 @@ def _kernel(
     gs_buf,                   # [1, 2F] f32 (staged gate/up scale row)
     asem, bsem, ksem2,        # weight DMA semaphores (2,)
     pksem, pvsem,             # slab DMA semaphores (2,)
-    *,
+    *scale_scratch,           # kv_quant only: spk, spv, sgk, sgv, sxk, sxv
+                              # ([Hkv, B*pp, TBLOCK] f32 staged scale slabs)
+                              # + ssem DMA semaphores (6,)
     meta: _Meta,
     true_batch: int,          # rows that exist in the cache slabs
     hidden: int,
@@ -147,6 +152,7 @@ def _kernel(
     eps: float,
     soft_cap: Optional[float],
     q_scale: float,
+    kv_quant: bool = False,   # int8 pages + per-token scale planes
     phases: tuple = ("self", "cross", "mlp"),  # compile-time phase mask
 ):
     d = hidden
@@ -289,13 +295,51 @@ def _kernel(
 
     # ---- flash attention over dense cache slabs ------------------------
     def slab_attention(ak_src, av_src, bk_src, bv_src, pp_a, pp_b,
-                       alen_of, blen_of, with_current):
+                       alen_of, blen_of, with_current,
+                       scale_srcs=None, scale_bufs=None, ssem0=0):
         """Per-row two-segment flash attention; q from qh_buf, output to
         ah_buf. The DMA slot parity carries across rows (row b's last
         block prefetches row b+1's first block). Sources are PAGES VIEWS
         [Hkv, NP, TBLOCK, hd] (free reshape of the identity slabs) so every
         DMA copies full trailing dims — the proven fused_attn pattern;
-        pp_a/pp_b are each row's page counts."""
+        pp_a/pp_b are each row's page counts.
+
+        kv_quant: pages are int8 and ``scale_srcs`` = (ak, av, bk, bv)
+        per-token scale PAGES VIEWS [Hkv, NP, TBLOCK] f32. The layer's
+        whole scale slabs stage into VMEM ``scale_bufs`` in ONE DMA each
+        (per-BLOCK scale DMAs are what made the two-kernel paged_i8 path
+        SLOWER than bf16 — docs/DESIGN.md §1); the per-token k scale then
+        multiplies the LOGITS and the v scale folds into p, both of which
+        carry the token axis in LANES — no relayout, and the math is exact
+        (q·(k8·s) = s·(q·k8); Σ p·(v8·s) = Σ (p·s)·v8)."""
+        if kv_quant:
+            row0 = li * true_batch
+            aks, avs, bks, bvs = scale_srcs
+            ska, sva, skb, svb = scale_bufs
+            ssem = scale_scratch[-1]
+            copies = [
+                pltpu.make_async_copy(
+                    aks.at[:, pl.ds(row0 * pp_a, true_batch * pp_a)],
+                    ska, ssem.at[ssem0]),
+                pltpu.make_async_copy(
+                    avs.at[:, pl.ds(row0 * pp_a, true_batch * pp_a)],
+                    sva, ssem.at[ssem0 + 1]),
+            ]
+            if skb is not ska:
+                copies += [
+                    pltpu.make_async_copy(
+                        bks.at[:, pl.ds(row0 * pp_b, true_batch * pp_b)],
+                        skb, ssem.at[ssem0 + 2]),
+                    pltpu.make_async_copy(
+                        bvs.at[:, pl.ds(row0 * pp_b, true_batch * pp_b)],
+                        svb, ssem.at[ssem0 + 3]),
+                ]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+        else:
+            ska = sva = skb = svb = None
 
         def counts(b):
             na = pl.cdiv(alen_of(b), TBLOCK)
@@ -366,16 +410,28 @@ def _kernel(
                 col = jax.lax.broadcasted_iota(
                     jnp.int32, (hkv, g, TBLOCK), 2)
                 valid = (base + col) < seglen
-                logits = capped(jax.lax.dot_general(
+                raw = jax.lax.dot_general(
                     qrow, kblk, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32))  # [hkv, g, ts]
+                    preferred_element_type=jnp.float32)   # [hkv, g, ts]
+                if kv_quant:
+                    # per-token scales, token axis in LANES throughout
+                    sia = jnp.minimum(b * pp_a + i, true_batch * pp_a - 1)
+                    sib = jnp.clip(b * pp_b + (i - na), 0,
+                                   true_batch * pp_b - 1)
+                    ks = jnp.where(in_a, ska[:, pl.ds(sia, 1), :],
+                                   skb[:, pl.ds(sib, 1), :])  # [hkv, 1, ts]
+                    vs = jnp.where(in_a, sva[:, pl.ds(sia, 1), :],
+                                   svb[:, pl.ds(sib, 1), :])
+                    raw = raw * ks
+                logits = capped(raw)
                 logits = jnp.where(valid, logits, _MASK_VALUE)
                 m_new = jnp.maximum(m, jnp.max(logits, -1, keepdims=True))
                 p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
                 alpha = jnp.exp(m - m_new)
                 l_new = l * alpha + jnp.sum(p, -1, keepdims=True)
                 acc_new = acc * alpha + jax.lax.dot_general(
-                    p, vbuf[slot].astype(jnp.float32),
+                    p * vs if kv_quant else p,
+                    vbuf[slot].astype(jnp.float32),
                     (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
                 return m_new, l_new, acc_new
@@ -430,7 +486,12 @@ def _kernel(
             pk_ref, pv_ref, gk_ref, gv_ref, meta.ppp, meta.ppg,
             alen_of=lambda b: jnp.where(b < true_batch, plens_s[b], 0),
             blen_of=lambda b: jnp.where(b < true_batch, glens_s[b], 0),
-            with_current=True)
+            with_current=True,
+            scale_srcs=(pks_ref, pvs_ref, gks_ref, gvs_ref),
+            scale_bufs=(scale_scratch[0], scale_scratch[1],
+                        scale_scratch[2], scale_scratch[3])
+            if kv_quant else None,
+            ssem0=0)
 
         heads_to_rows(ah_buf, heads, attn_buf)
         a8, sa = _quant_rows(attn_buf[...])
@@ -456,7 +517,12 @@ def _kernel(
             alen_of=lambda b: jnp.where(b < true_batch,
                                         jnp.maximum(elens_s[b], 1), 0),
             blen_of=lambda b: jnp.int32(0),
-            with_current=False)
+            with_current=False,
+            scale_srcs=(xks_ref, xvs_ref, xks_ref, xvs_ref),
+            scale_bufs=(scale_scratch[4], scale_scratch[5],
+                        scale_scratch[4], scale_scratch[5])
+            if kv_quant else None,
+            ssem0=4)
 
         heads_to_rows(ah_buf, heads, attn_buf)
         a8, sa = _quant_rows(attn_buf[...])
@@ -578,7 +644,8 @@ def _kernel(
 
 def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
     """Whether the megakernel path applies: fused int8 W8A8 weights and a
-    bf16 dense-slab windowed cache."""
+    dense-slab windowed cache in bf16 OR int8 (+ per-token scale planes;
+    fp8 keeps the two-kernel path)."""
     from .quant import QuantWeight
 
     sa = params_layers.get("self_attn", {})
@@ -589,7 +656,9 @@ def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
     if not all(isinstance(w, QuantWeight) and w.act_bits == 8
                for w in needed):
         return False
-    if cache.gen_k.dtype != jnp.bfloat16:
+    if not (cache.gen_k.dtype == jnp.bfloat16
+            or (cache.gen_k.dtype == jnp.int8
+                and cache.gen_k_scale is not None)):
         return False
     ho = dims.num_heads * dims.head_dim
     f = dims.intermediate_size
@@ -613,11 +682,13 @@ def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
                      "interpret", "phases"),
 )
 def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
-          li, plens, glens, elens, *, dims_key, true_batch, eps, soft_cap,
-          q_scale, interpret, phases=("self", "cross", "mlp")):
+          li, plens, glens, elens, kv_scales=None, *, dims_key, true_batch,
+          eps, soft_cap, q_scale, interpret,
+          phases=("self", "cross", "mlp")):
     (bp, d, heads, hkv, hd) = dims_key
     qkvw, ow, cqw, cow, guw, dnw = weights
     pk, pv, gk, gv, xk, xv = slabs
+    kv_quant = kv_scales is not None
     # "tiled_n" values are [L, NT, K, T]; padded width = NT * T
     nqkv = qkvw.shape[1] * qkvw.shape[-1]
     cqn = cqw.shape[1] * cqw.shape[-1]
@@ -648,10 +719,22 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
 
     pk, pv, gk, gv, xk, xv = (pview(x) for x in (pk, pv, gk, gv, xk, xv))
 
+    if kv_quant:
+        # scale pages views [Hkv, L*B, T] -> [Hkv, NP, TBLOCK] (free)
+        def sview(buf):
+            hkv_, lb, t = buf.shape
+            return buf.reshape(hkv_, lb * (t // TBLOCK), TBLOCK)
+
+        pks, pvs, gks, gvs, xks, xvs = (
+            sview(s.astype(jnp.float32)) for s in kv_scales)
+    else:
+        dummy = jnp.zeros((1, 1, 1), jnp.float32)
+        pks = pvs = gks = gvs = xks = xvs = dummy
+
     kernel = functools.partial(
         _kernel, meta=meta, true_batch=true_batch, hidden=d, heads=heads,
         kv_heads=hkv, head_dim=hd, eps=eps, soft_cap=soft_cap,
-        q_scale=q_scale, phases=phases)
+        q_scale=q_scale, kv_quant=kv_quant, phases=phases)
 
     n_layers = qkvw.shape[0]
 
@@ -682,7 +765,7 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
             full(1, qkvs.shape[-1]), full(1, os_.shape[-1]),
             full(1, cqs.shape[-1]), full(1, cos_s.shape[-1]),
             full(1, gus.shape[-1]), full(1, dns.shape[-1]),
-            *[any_spec] * 12,
+            *[any_spec] * 18,
         ],
         out_specs=[
             full(bp, d),
@@ -706,6 +789,23 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            *((
+                # staged per-token scale slabs for this layer (~1.3 MB at
+                # serving dims) + their DMA semaphores
+                pltpu.VMEM((hkv, true_batch * meta.ppp, TBLOCK),
+                           jnp.float32),
+                pltpu.VMEM((hkv, true_batch * meta.ppp, TBLOCK),
+                           jnp.float32),
+                pltpu.VMEM((hkv, true_batch * meta.ppg, TBLOCK),
+                           jnp.float32),
+                pltpu.VMEM((hkv, true_batch * meta.ppg, TBLOCK),
+                           jnp.float32),
+                pltpu.VMEM((hkv, true_batch * meta.ppx, TBLOCK),
+                           jnp.float32),
+                pltpu.VMEM((hkv, true_batch * meta.ppx, TBLOCK),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((6,)),
+            ) if kv_quant else ()),
         ),
     )
 
@@ -737,6 +837,7 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
         qkvs, os_, cqs, cos_s, gus, dns,
         qkvw, ow, cqw, cow, guw, dnw,
         pk, pv, gk, gv, xk, xv,
+        pks, pvs, gks, gvs, xks, xvs,
     )
     return hout, knew, vnew
 
@@ -751,13 +852,16 @@ def _pad_rows(x, bp):
 def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
                  li, plens, glens, elens, prompt_k, prompt_v,
                  gen_k, gen_v, cross_k, cross_v,
+                 kv_scales=None,
                  interpret: bool = False,
                  phases: tuple = ("self", "cross", "mlp")):
     """Run decoder layer ``li`` through the megakernel.
 
     h: [B, D]; cos/sin/qcos/qsin: [B, hd]; slabs are the cache's raw
-    [Hkv, L*B, T, hd] bf16 buffers (models/t5gemma.py identity layout).
-    Returns (h_out [B, D] f32, k_new/v_new [B, Hkv, hd] f32)."""
+    [Hkv, L*B, T, hd] bf16 — or int8 with ``kv_scales`` = the cache's six
+    per-token scale planes [Hkv, L*B, T] (prompt_k, prompt_v, gen_k,
+    gen_v, cross_k, cross_v order) — buffers (models/t5gemma.py identity
+    layout). Returns (h_out [B, D] f32, k_new/v_new [B, Hkv, hd] f32)."""
     sa = params_layers["self_attn"]
     ca = params_layers["cross_attn"]
     mlp_p = params_layers["mlp"]
@@ -787,7 +891,7 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
         _pad_rows(qcos, bp), _pad_rows(qsin, bp),
         norms, scales, weights, slabs,
         jnp.asarray(li), _pad_rows(plens, bp), _pad_rows(glens, bp),
-        _pad_rows(elens, bp),
+        _pad_rows(elens, bp), kv_scales,
         dims_key=dims_key, true_batch=b, eps=dims.rms_norm_eps,
         soft_cap=dims.attn_logit_softcap,
         q_scale=float(dims.q_scale), interpret=interpret, phases=phases)

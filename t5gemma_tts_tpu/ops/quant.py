@@ -304,7 +304,12 @@ def quantize_params_for_decode(params, quantize_encoder: bool = False,
 
     out = jax.tree_util.tree_map_with_path(walk, params)
     if streaming_tiled is None:
-        streaming_tiled = os.environ.get("T5G_FUSED_ATTN") == "3"
+        # mirror models/t5gemma._fused_attn_mode's default: the megakernel
+        # (mode 3) is the TPU default and needs the streaming-tiled layouts
+        env = os.environ.get("T5G_FUSED_ATTN")
+        streaming_tiled = (env == "3" or
+                           (env is None
+                            and jax.default_backend() == "tpu"))
     if streaming_tiled:
         out = retile_for_streaming(out)
     return out

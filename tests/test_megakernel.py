@@ -129,3 +129,94 @@ def test_megakernel_batch_one():
     h0, _ = _run(0, dec, dims, cache, emb, pos, plens, elens, step)
     h3, _ = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
     assert _rel(h3, h0) < 5e-2
+
+
+def _setup_i8(b=2, step=5, seed=0):
+    """Same fixture but with an int8 paged cache (per-token scale planes):
+    quantize bf16 random content through ops/fused_attn.quantize_kv so the
+    mode-0 two-kernel path and the megakernel dequantize IDENTICAL data."""
+    from t5gemma_tts_tpu.ops.fused_attn import quantize_kv
+
+    cfg = tiny_voice_config()
+    dims = dataclasses.replace(cfg.backbone.decoder, sliding_window=4096)
+    params = voice.init_params(jax.random.PRNGKey(seed), cfg)
+    params = t5gemma.fuse_for_decode(params)
+    params = quantize_params_for_decode(params, streaming_tiled=True)
+    dec = params["decoder"]
+
+    cache = t5gemma.init_paged_cache(dims, b, 5, 6, 7,
+                                     store_dtype=jnp.int8)
+
+    def qfill(x, k):
+        vals = jax.random.normal(jax.random.PRNGKey(k), x.shape,
+                                 jnp.float32) * 0.5
+        return quantize_kv(vals)
+
+    pk, pks = qfill(cache.prompt_k, 1)
+    pv, pvs = qfill(cache.prompt_v, 2)
+    gk, gks = qfill(cache.gen_k, 3)
+    gv, gvs = qfill(cache.gen_v, 4)
+    xk, xks = qfill(cache.cross_k, 5)
+    xv, xvs = qfill(cache.cross_v, 6)
+
+    def fill(x, k):
+        return (jax.random.normal(jax.random.PRNGKey(k), x.shape,
+                                  jnp.float32) * 0.5).astype(x.dtype)
+
+    cache = cache._replace(
+        prompt_k=pk, prompt_v=pv, gen_k=gk, gen_v=gv,
+        cross_k=xk, cross_v=xv,
+        prompt_k_scale=pks, prompt_v_scale=pvs,
+        gen_k_scale=gks, gen_v_scale=gvs,
+        cross_k_scale=xks, cross_v_scale=xvs,
+        pending_k=fill(cache.pending_k, 7),
+        pending_v=fill(cache.pending_v, 8),
+    )
+
+    rng = np.random.default_rng(seed)
+    emb = jnp.asarray(rng.normal(size=(b, 1, dims.hidden_size)) * 0.3,
+                      jnp.bfloat16)
+    pos = jnp.asarray(rng.uniform(0, 100, (b, 1)), jnp.float32)
+    plens = jnp.asarray([3, 5][:b], jnp.int32)
+    elens = jnp.asarray([7, 2][:b], jnp.int32)
+    return cfg, dims, dec, cache, emb, pos, plens, elens, jnp.int32(step)
+
+
+def test_megakernel_int8_kv_matches_unfused():
+    """int8 pages + staged per-token scale slabs: the megakernel's
+    dequant-at-the-logits math (q.(k8*s) = s*(q.k8); sum p*(v8*s) =
+    sum (p*s)*v8) must agree with the two-kernel paged_i8 path on the
+    SAME quantized cache."""
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup_i8()
+    h0, c0 = _run(0, dec, dims, cache, emb, pos, plens, elens, step)
+    h3, c3 = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+
+    assert np.isfinite(np.asarray(h3, np.float32)).all()
+    assert _rel(h3, h0) < 5e-2
+    assert _rel(c3.pending_k, c0.pending_k) < 2e-2
+    assert _rel(c3.pending_v, c0.pending_v) < 2e-2
+
+
+def test_megakernel_int8_kv_respects_lengths():
+    """Poisoning int8 pages AND scale planes beyond the valid lengths must
+    not change the megakernel output."""
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup_i8()
+    h3, _ = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+
+    poison = cache._replace(
+        prompt_k=cache.prompt_k.at[:, :, 5:, :].set(99),
+        prompt_v=cache.prompt_v.at[:, :, 5:, :].set(-99),
+        prompt_k_scale=cache.prompt_k_scale.at[:, :, 5:].set(37.0),
+        prompt_v_scale=cache.prompt_v_scale.at[:, :, 5:].set(53.0),
+        cross_k=cache.cross_k.at[:, :, 7:, :].set(77),
+        cross_v=cache.cross_v.at[:, :, 7:, :].set(-77),
+        cross_k_scale=cache.cross_k_scale.at[:, :, 7:].set(19.0),
+        cross_v_scale=cache.cross_v_scale.at[:, :, 7:].set(23.0),
+        gen_k=cache.gen_k.at[:, :, int(step):, :].set(55),
+        gen_v=cache.gen_v.at[:, :, int(step):, :].set(-55),
+        gen_k_scale=cache.gen_k_scale.at[:, :, int(step):].set(41.0),
+        gen_v_scale=cache.gen_v_scale.at[:, :, int(step):].set(43.0),
+    )
+    hp, _ = _run(3, dec, dims, poison, emb, pos, plens, elens, step)
+    np.testing.assert_allclose(np.asarray(hp, np.float32),
+                               np.asarray(h3, np.float32), atol=1e-5)
