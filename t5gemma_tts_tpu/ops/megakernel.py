@@ -127,6 +127,11 @@ def _kernel(
     hout_ref,                 # [BP, D] f32
     knew_ref, vnew_ref,       # [Hkv, BP, hd] f32 (head-major; also serves
                               # as the in-flight k/v the attention reads)
+    knew2_ref, vnew2_ref,     # [BP, Hkv*hd] f32 (row-major twin: the
+                              # engine consumes this one — [B, KVH] ->
+                              # [B, Hkv, hd] is a free reshape, vs a
+                              # [Hkv, B, hd] -> [B, Hkv, hd] XLA transpose
+                              # per layer per k/v, ~52 launches/step)
     # scratch
     awbuf, bwbuf,             # [2, CHUNK, D, WTILE] int8 (N-tile streams)
     kwbuf,                    # [2, CHUNK, WTILE, DP] int8 (K-tile streams)
@@ -382,6 +387,14 @@ def _kernel(
             nblocks = na + nb
             # [H, 1, hd] -> [hkv, g, hd]: leading-dims reshape only
             qrow = qh_buf[:, pl.ds(b, 1), :].reshape(hkv, g, hd)
+            # bf16 q for the MXU-native bf16 x bf16 QK dot (the f32
+            # convert-then-f32-dot is never faster). For int8 pages a
+            # fully-int8 dot against a per-row quantized q + per-block
+            # quantized p*vscale was tried and measured WORSE (10.02 vs
+            # 9.20 ms/step at batch 64): the g=2-row dot shapes are too
+            # small for the int8 MXU pipeline to win over the VPU
+            # dequant-converts, so int8 pages convert to bf16 instead
+            qbrow = qrow.astype(jnp.bfloat16)
 
             def blk(i, carry):
                 m, l, acc = carry
@@ -403,18 +416,16 @@ def _kernel(
                 pltpu.make_async_copy(av_src.at[:, 0], vbuf.at[slot],
                                       pvsem.at[slot]).wait()
 
-                kblk = kbuf[slot].astype(jnp.float32)     # [hkv, ts, hd]
                 in_a = i < na
                 base = jnp.where(in_a, i * TBLOCK, (i - na) * TBLOCK)
                 seglen = jnp.where(in_a, alen, blen)
                 col = jax.lax.broadcasted_iota(
                     jnp.int32, (hkv, g, TBLOCK), 2)
                 valid = (base + col) < seglen
-                raw = jax.lax.dot_general(
-                    qrow, kblk, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)   # [hkv, g, ts]
                 if kv_quant:
                     # per-token scales, token axis in LANES throughout
+                    # (the k scale multiplies the LOGITS and the v scale
+                    # folds into p: q.(k8*s) = s.(q.k8) — no relayout)
                     sia = jnp.minimum(b * pp_a + i, true_batch * pp_a - 1)
                     sib = jnp.clip(b * pp_b + (i - na), 0,
                                    true_batch * pp_b - 1)
@@ -422,18 +433,32 @@ def _kernel(
                                    skb[:, pl.ds(sib, 1), :])  # [hkv, 1, ts]
                     vs = jnp.where(in_a, sva[:, pl.ds(sia, 1), :],
                                    svb[:, pl.ds(sib, 1), :])
-                    raw = raw * ks
+                    raw = jax.lax.dot_general(
+                        qbrow, kbuf[slot].astype(jnp.bfloat16),
+                        (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32) * ks
+                else:
+                    raw = jax.lax.dot_general(
+                        qbrow, kbuf[slot], (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
                 logits = capped(raw)
                 logits = jnp.where(valid, logits, _MASK_VALUE)
                 m_new = jnp.maximum(m, jnp.max(logits, -1, keepdims=True))
                 p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
                 alpha = jnp.exp(m - m_new)
                 l_new = l * alpha + jnp.sum(p, -1, keepdims=True)
-                acc_new = acc * alpha + jax.lax.dot_general(
-                    p * vs if kv_quant else p,
-                    vbuf[slot].astype(jnp.float32),
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
+                if kv_quant:
+                    blk_acc = jax.lax.dot_general(
+                        (p * vs).astype(jnp.bfloat16),
+                        vbuf[slot].astype(jnp.bfloat16),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                else:
+                    blk_acc = jax.lax.dot_general(
+                        p.astype(jnp.bfloat16), vbuf[slot],
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                acc_new = acc * alpha + blk_acc
                 return m_new, l_new, acc_new
 
             m0 = jnp.full((hkv, g, 1), _MASK_VALUE, jnp.float32)
@@ -479,8 +504,10 @@ def _kernel(
             kh = qkv_buf[:, pl.ds(ho + hh * hd, hd)]
             kh = kh * cosb + _rot_half(kh) * sinb
             knew_ref[pl.ds(hh, 1)] = kh.reshape(1, bp, hd)
+            knew2_ref[:, pl.ds(hh * hd, hd)] = kh
             vh = qkv_buf[:, pl.ds(ho + kvh + hh * hd, hd)]
             vnew_ref[pl.ds(hh, 1)] = vh.reshape(1, bp, hd)
+            vnew2_ref[:, pl.ds(hh * hd, hd)] = vh
 
         slab_attention(
             pk_ref, pv_ref, gk_ref, gv_ref, meta.ppp, meta.ppg,
@@ -536,6 +563,8 @@ def _kernel(
     else:
         knew_ref[...] = jnp.zeros_like(knew_ref[...])
         vnew_ref[...] = jnp.zeros_like(vnew_ref[...])
+        knew2_ref[...] = jnp.zeros_like(knew2_ref[...])
+        vnew2_ref[...] = jnp.zeros_like(vnew2_ref[...])
     if "cross" in phases:
         h32 = phase_cross(h32)
     if "mlp" not in phases:
@@ -770,6 +799,7 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
         out_specs=[
             full(bp, d),
             full(hkv, bp, hd), full(hkv, bp, hd),
+            full(bp, hkv * hd), full(bp, hkv * hd),
         ],
         scratch_shapes=(
             pltpu.VMEM((2, CHUNK, d, WTILE), jnp.int8),
@@ -809,13 +839,15 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
         ),
     )
 
-    hout, knew, vnew = pl.pallas_call(
+    hout, _, _, knew2, vnew2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bp, d), jnp.float32),
             jax.ShapeDtypeStruct((hkv, bp, hd), jnp.float32),
             jax.ShapeDtypeStruct((hkv, bp, hd), jnp.float32),
+            jax.ShapeDtypeStruct((bp, hkv * hd), jnp.float32),
+            jax.ShapeDtypeStruct((bp, hkv * hd), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -839,7 +871,7 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
         pk, pv, gk, gv, xk, xv,
         pks, pvs, gks, gvs, xks, xvs,
     )
-    return hout, knew, vnew
+    return hout, knew2, vnew2
 
 
 def _pad_rows(x, bp):
@@ -886,7 +918,7 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
         bp = b
     dims_key = (bp, dims.hidden_size, dims.num_heads, dims.num_kv_heads,
                 dims.head_dim)
-    hout, knew, vnew = _call(
+    hout, knew2, vnew2 = _call(
         _pad_rows(h, bp), _pad_rows(cos, bp), _pad_rows(sin, bp),
         _pad_rows(qcos, bp), _pad_rows(qsin, bp),
         norms, scales, weights, slabs,
@@ -895,6 +927,9 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
         dims_key=dims_key, true_batch=b, eps=dims.rms_norm_eps,
         soft_cap=dims.attn_logit_softcap,
         q_scale=float(dims.q_scale), interpret=interpret, phases=phases)
-    # head-major [Hkv, BP, hd] -> engine layout [B, Hkv, hd]
-    return (hout[:b], knew.transpose(1, 0, 2)[:b],
-            vnew.transpose(1, 0, 2)[:b])
+    # row-major [BP, Hkv*hd] -> engine layout [B, Hkv, hd]: free reshape
+    # (the head-major kernel outputs exist only for the in-kernel
+    # current-token read; a transpose here cost ~52 XLA launches/step)
+    hkv, hd = dims.num_kv_heads, dims.head_dim
+    return (hout[:b], knew2[:b].reshape(b, hkv, hd),
+            vnew2[:b].reshape(b, hkv, hd))

@@ -233,6 +233,13 @@ def test_compile_cache_and_warmup(tmp_path, monkeypatch):
     # directory is applied or the call degrades to None without raising
     assert d is None or d.endswith("xla")
     assert compile_cache.enable_persistent_cache("/elsewhere") == d
+    # turn the cache BACK OFF for the rest of the in-process suite:
+    # jax.config is process-global, and leaving the cache armed makes later
+    # tests (train-CLI e2e) SEGFAULT inside jax's executable serializer
+    # (put_executable_and_time — same crash class the conftest
+    # T5GEMMA_TTS_COMPILE_CACHE=off guard exists for)
+    if d is not None:
+        jax.config.update("jax_compilation_cache_dir", None)
 
     cfg = tiny_voice_config()
     params = voice.init_params(jax.random.PRNGKey(0), cfg)
