@@ -1,8 +1,16 @@
 """End-to-end training CLI: tiny dataset + offline tokenizer + 3 steps
-through train.cli.main (args snapshot, logger, snapshot copy, trainer)."""
+through train.cli.main (args snapshot, logger, snapshot copy, trainer).
+
+The CLI runs in a SUBPROCESS (python -m t5gemma_tts_tpu.train.cli), like a
+real training launch. Running cli.main in-process is flaky at full-suite
+scale: after a few hundred in-process compiles, XLA's CPU
+backend_compile_and_load intermittently SEGFAULTS while compiling the
+train step (observed twice at tests/ tail; the same test alone is green).
+"""
 
 import json
 import os
+import subprocess
 import sys
 
 import pytest
@@ -12,14 +20,25 @@ from test_cli_e2e import _make_offline_tokenizer  # noqa: E402
 from test_data_and_trainer import _write_dataset  # noqa: E402
 
 
+def _run_cli(argv):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "t5gemma_tts_tpu.train.cli", *argv],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, (
+        f"train CLI failed\nstdout:\n{proc.stdout[-4000:]}\n"
+        f"stderr:\n{proc.stderr[-4000:]}")
+
+
 def test_train_cli_end_to_end(tmp_path):
     pytest.importorskip("transformers")
     root = _write_dataset(str(tmp_path / "ds"), vocab=128)
     tok_dir = str(tmp_path / "tok")
     _make_offline_tokenizer(tok_dir, 512)
     exp = str(tmp_path / "exp")
-
-    from t5gemma_tts_tpu.train import cli
 
     argv = [
         "--dataset_dir", root,
@@ -42,7 +61,7 @@ def test_train_cli_end_to_end(tmp_path):
         "--optimizer_name", "AdamW",
         "--lr", "1e-3",
     ]
-    cli.main(argv)
+    _run_cli(argv)
 
     assert os.path.isfile(os.path.join(exp, "args.json"))
     assert os.path.isfile(os.path.join(exp, "config.json"))
@@ -53,6 +72,6 @@ def test_train_cli_end_to_end(tmp_path):
     assert progress["step"] == 3
 
     # resume path: merged args + checkpoint restore, 2 more steps
-    cli.main(argv + ["--resume", "--num_steps", "5"])
+    _run_cli(argv + ["--resume", "--num_steps", "5"])
     with open(os.path.join(exp, "progress.json")) as f:
         assert json.load(f)["step"] == 5
