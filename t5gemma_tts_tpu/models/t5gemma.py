@@ -798,7 +798,16 @@ def paged_decode_step(
             if rowclock:
                 s5 = scale_buf.reshape(hkv_, n_layers, b, -1)
                 sblock = sc.transpose(2, 0, 1)               # [Hkv, L, B]
-                s5 = s5.at[:, :, jnp.arange(b), flush_positions].set(sblock)
+                # per-row dynamic_update_slice (unrolled over the static
+                # batch) instead of a scatter: XLA lowers the batched
+                # scatter over [Hkv, L, B, T] to a masked full-buffer
+                # rewrite, which at serving sizes re-streams the whole
+                # slab every step (measured: 9.9 ms/step at 16 slots vs
+                # ~6 windowed)
+                for row in range(b):
+                    s5 = jax.lax.dynamic_update_slice(
+                        s5, sblock[:, :, row][:, :, None, None],
+                        (0, 0, row, flush_positions[row]))
                 scale_buf = s5.reshape(scale_buf.shape)
             else:
                 sblock = sc.transpose(2, 0, 1).reshape(hkv_, -1, 1)
@@ -806,11 +815,18 @@ def paged_decode_step(
                     scale_buf, sblock, (0, 0, flush_slot))
             pending = qv
         if rowclock:
-            # per-row clocks: scatter each row's pending block at its OWN
-            # slot inside the identity slab [Hkv, L, B, T, hd]
+            # per-row clocks: each row's pending block lands at its OWN
+            # slot inside the identity slab [Hkv, L, B, T, hd]. One
+            # dynamic_update_slice per row (unrolled; B is static): DUS
+            # updates in place, while the equivalent batched scatter made
+            # XLA re-stream the entire gen slab (~654 MB k+v at 16 slots)
+            # every step.
             b5 = buf.reshape(hkv_, n_layers, b, buf.shape[2], buf.shape[3])
             block = pending.transpose(2, 0, 1, 3).astype(buf.dtype)
-            b5 = b5.at[:, :, jnp.arange(b), flush_positions, :].set(block)
+            for row in range(b):
+                b5 = jax.lax.dynamic_update_slice(
+                    b5, block[:, :, row][:, :, None, None, :],
+                    (0, 0, row, flush_positions[row], 0))
             return b5.reshape(buf.shape), scale_buf
         block = pending.transpose(2, 0, 1, 3).reshape(
             hkv_, -1, 1, dims.head_dim).astype(buf.dtype)

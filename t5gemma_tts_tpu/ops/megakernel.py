@@ -159,6 +159,7 @@ def _kernel(
     q_scale: float,
     kv_quant: bool = False,   # int8 pages + per-token scale planes
     phases: tuple = ("self", "cross", "mlp"),  # compile-time phase mask
+    w4: bool = False,         # lanes4 int4 weights (ops/quant.Lanes4Weight)
 ):
     d = hidden
     hd = head_dim
@@ -185,17 +186,23 @@ def _kernel(
     n4 = n4_ref[...]
     n5 = n5_ref[...]
     qkvs_row = qkvs_ref[...]
-    os_row = os_ref[...]
     cqs_row = cqs_ref[...]
-    cos_row = cos_s_ref[...]
     gus_row = gus_ref[...]
-    dns_row = dns_ref[...]
+
+    def _qsum(x8):
+        """8*sum(x8) correction operand for the w4 lo-nibble recovery;
+        f32 is exact here (|sum| <= 127*K < 2^24) and f32 lane reductions
+        are the proven-safe kind on this terminal."""
+        if not w4:
+            return None
+        return jnp.sum(x8.astype(jnp.int32).astype(jnp.float32),
+                       axis=-1, keepdims=True)
 
     # ---- streamed matmuls ----------------------------------------------
     # Weight-tile DMAs move FULL trailing dims of tile-major layouts
     # (ops/quant.retile_for_streaming): a lane-sliced HBM DMA hangs the
     # terminal at run time (bisected with minimal probes).
-    def nstream(w_any, s_row, x8, sx, out_vmem, n_tiles, wbuf, wsem):
+    def nstream(w_any, s_row, x8, sx, xsum, out_vmem, n_tiles, wbuf, wsem):
         """out[:, jT:(j+1)T] = (x8 @ w_tiled[li*NT + j]) * sx * scale;
         w_any is "tiled_n" FLATTENED to [L*NT, K, T]. Consecutive tiles
         move in CHUNKS of up to CHUNK per DMA: a dynamically addressed
@@ -203,7 +210,15 @@ def _kernel(
         alone did not help) vs ~1.4 us of wire time per [2304, 512] int8
         tile, so per-tile DMAs left the HBM stream idle more than half the
         time. The loop is PYTHON-unrolled: Mosaic has no dynamic_slice on
-        values, so tile offsets must be static."""
+        values, so tile offsets must be static.
+
+        w4: tiles are lanes4-packed [K, T/2] (channel c pairs with
+        c + T/2; byte = 16*q_hi + (q_lo + 8)). Only AND legalizes on int8
+        vectors here, so the nibbles are never unpacked — two int8 dots
+        recover both halves exactly (see ops/quant.py lanes4 header):
+            x.q_hi = (x8@p - x8@ul) / 16,  x.q_lo = x8@ul - 8*sum(x8)
+        with ul = p & 15; both land in their natural channel span, so the
+        deferred full-row scale epilogue below is unchanged."""
         base = li * n_tiles
         n_chunks = -(-n_tiles // CHUNK)
 
@@ -225,11 +240,26 @@ def _kernel(
                 wbuf.at[slot, pl.ds(0, gsize(c))], wsem.at[slot]).wait()
             for g in range(gsize(c)):
                 j = CHUNK * c + g
-                acc = jax.lax.dot_general(
-                    x8, wbuf[slot, g], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                out_vmem[:, j * WTILE:(j + 1) * WTILE] = (
-                    acc.astype(jnp.float32))
+                if w4:
+                    half = WTILE // 2
+                    pg = wbuf[slot, g]                      # [K, T/2]
+                    ul = jnp.bitwise_and(pg, jnp.int8(15))
+                    dp_ = jax.lax.dot_general(
+                        x8, pg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    dul = jax.lax.dot_general(
+                        x8, ul, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    out_vmem[:, j * WTILE:j * WTILE + half] = (
+                        dul.astype(jnp.float32) - 8.0 * xsum)
+                    out_vmem[:, j * WTILE + half:(j + 1) * WTILE] = (
+                        (dp_ - dul).astype(jnp.float32) * 0.0625)
+                else:
+                    acc = jax.lax.dot_general(
+                        x8, wbuf[slot, g], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    out_vmem[:, j * WTILE:(j + 1) * WTILE] = (
+                        acc.astype(jnp.float32))
         # scale ONCE over the whole written span: a per-tile VALUE slice of
         # s_row carries its lane offset in the Mosaic layout and the [1,T]
         # -> [BP,T] broadcast from a non-zero lane offset is rejected
@@ -237,12 +267,70 @@ def _kernel(
         n_out = n_tiles * WTILE
         out_vmem[:, :n_out] = out_vmem[:, :n_out] * sx * s_row
 
-    def kstream(w_any, s_row, x8, sx, k_size, tiled):
+    def kstream(w_any, s_ref, x8, sx, xsum, k_size, tiled):
         """acc_buf[:] = (x8 @ w[li]) * sx * scale, streaming K-tiles; int32
         accumulation is exact (one act scale per row). ``tiled``:
         "tiled_k" [L, KT, T, DP] full-trailing DMAs (serving dims); the kn
         fallback (sublane-sliced DMA) exists only for interpreter-mode test
-        dims where K < WTILE."""
+        dims where K < WTILE.
+
+        w4: tiles are lanes4-packed [TK, DP/2] with GLOBAL channel pairing
+        (c, c + DP/2); two dots per tile recover both halves, lo/hi
+        accumulate in f32 and land in their channel spans of acc_buf with
+        REF-read half-scales (a half-slice of the s VALUE would carry a
+        lane offset the broadcast rejects)."""
+        if w4:
+            tk = WTILE if k_size % WTILE == 0 else k_size
+            n_tiles = k_size // tk
+            base = li * n_tiles      # l4k is flattened [L*KT, TK, DP/2]
+            ck = CHUNK if tk == WTILE else 1
+            n_chunks = -(-n_tiles // ck)
+            x8_buf[:, :k_size] = x8
+            dph = meta.dp // 2
+
+            def gsize4(c):
+                return min(ck, n_tiles - ck * c)
+
+            def copy4(c, slot):
+                if tk == WTILE:
+                    return pltpu.make_async_copy(
+                        w_any.at[pl.ds(base + ck * c, gsize4(c))],
+                        kwbuf.at[slot, pl.ds(0, gsize4(c))], ksem2.at[slot])
+                return pltpu.make_async_copy(
+                    w_any.at[pl.ds(base + c, 1)],
+                    kwbuf.at[slot, pl.ds(0, 1), pl.ds(0, tk), :],
+                    ksem2.at[slot])
+
+            copy4(0, 0).start()
+            acc_lo = jnp.zeros((x8.shape[0], dph), jnp.float32)
+            acc_hi = jnp.zeros((x8.shape[0], dph), jnp.float32)
+            for c in range(n_chunks):
+                slot = c % 2
+                if c + 1 < n_chunks:
+                    copy4(c + 1, (c + 1) % 2).start()
+                copy4(c, slot).wait()
+                for g in range(gsize4(c)):
+                    t = ck * c + g
+                    xt = x8_buf[:, t * tk:(t + 1) * tk]
+                    pg = kwbuf[slot, g, pl.ds(0, tk), :]
+                    ul = jnp.bitwise_and(pg, jnp.int8(15))
+                    dp_ = jax.lax.dot_general(
+                        xt, pg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    dul = jax.lax.dot_general(
+                        xt, ul, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc_lo = acc_lo + dul.astype(jnp.float32)
+                    acc_hi = acc_hi + (dp_ - dul).astype(jnp.float32)
+            # the per-tile -8*sum(x_tile) corrections telescope to one
+            # full-row correction; 1/16 of the hi diff likewise once
+            acc_lo = acc_lo - 8.0 * xsum
+            acc_hi = acc_hi * 0.0625
+            acc_buf[:, pl.ds(0, dph)] = acc_lo * sx * s_ref[:, pl.ds(0, dph)]
+            acc_buf[:, pl.ds(dph, dph)] = (
+                acc_hi * sx * s_ref[:, pl.ds(dph, dph)])
+            return
+
         ktile = WTILE if tiled else (WTILE if k_size % WTILE == 0 else k_size)
         n_tiles = k_size // ktile
         base = li * n_tiles          # tiled_k is flattened [L*KT, T, DP]
@@ -296,7 +384,7 @@ def _kernel(
                     xt, kwbuf[slot, g, pl.ds(0, ktile), :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-        acc_buf[...] = acc32.astype(jnp.float32) * sx * s_row
+        acc_buf[...] = acc32.astype(jnp.float32) * sx * s_ref[...]
 
     # ---- flash attention over dense cache slabs ------------------------
     def slab_attention(ak_src, av_src, bk_src, bv_src, pp_a, pp_b,
@@ -490,8 +578,8 @@ def _kernel(
     def phase_self(h32):
         hn = _rms(h32, n0, eps)
         x8, sx = _quant_rows(hn)
-        nstream(qkvw_ref, qkvs_row, x8, sx, qkv_buf, meta.nqkv // WTILE,
-                awbuf, asem)
+        nstream(qkvw_ref, qkvs_row, x8, sx, _qsum(x8), qkv_buf,
+                meta.nqkv // WTILE, awbuf, asem)
 
         cosb = cos_ref[...]
         sinb = sin_ref[...]
@@ -522,15 +610,15 @@ def _kernel(
 
         heads_to_rows(ah_buf, heads, attn_buf)
         a8, sa = _quant_rows(attn_buf[...])
-        kstream(ow_ref, os_row, a8, sa, ho, meta.o_tiled)
+        kstream(ow_ref, os_ref, a8, sa, _qsum(a8), ho, meta.o_tiled)
         return h32 + _rms(acc_buf[:, pl.ds(0, d)], n1, eps)
 
     # ======================= phase 2: cross attention ====================
     def phase_cross(h32):
         hn = _rms(h32, n2, eps)
         x8, sx = _quant_rows(hn)
-        nstream(cqw_ref, cqs_row, x8, sx, qkv_buf, meta.cqn // WTILE,
-                awbuf, asem)
+        nstream(cqw_ref, cqs_row, x8, sx, _qsum(x8), qkv_buf,
+                meta.cqn // WTILE, awbuf, asem)
         qcosb = qcos_ref[...]
         qsinb = qsin_ref[...]
         for hh in range(heads):
@@ -553,7 +641,7 @@ def _kernel(
 
         heads_to_rows(ah_buf, heads, attn_buf)
         a8, sa = _quant_rows(attn_buf[...])
-        kstream(cow_ref, cos_row, a8, sa, ho, meta.o_tiled)
+        kstream(cow_ref, cos_s_ref, a8, sa, _qsum(a8), ho, meta.o_tiled)
         return h32 + _rms(acc_buf[:, pl.ds(0, d)], n3, eps)
 
     # ======================= phase 3: GeGLU MLP ==========================
@@ -611,6 +699,13 @@ def _kernel(
                                       asem.at[slot]),)
 
     def dn_copy(c, slot):
+        if w4:
+            # l4k flattened [L*KT, TK, DP/2]; explicit sublane slice of the
+            # dst so tiny (interpret) TK < kwbuf rows also lines up
+            return pltpu.make_async_copy(
+                dnw_ref.at[pl.ds(dn_base + cd * c, dn_size(c))],
+                kwbuf.at[slot, pl.ds(0, dn_size(c)), pl.ds(0, ftile), :],
+                ksem2.at[slot])
         if meta.dn_tiled:
             return pltpu.make_async_copy(
                 dnw_ref.at[pl.ds(dn_base + cd * c, dn_size(c))],
@@ -628,7 +723,23 @@ def _kernel(
     # "Invalid input layout", same class as nstream's deferred scale)
     gs_buf[...] = gus_row
 
+    xsum_mlp = _qsum(x8)
+    dph = meta.dp // 2
+
+    def _lanes4_halves(pk_blk, xq, xq_sum):
+        """Two int8 dots on a lanes4-packed block -> (lo, hi) raw f32
+        contributions (pre-scale): lo = x.q_lo, hi = x.q_hi (exact)."""
+        ul = jnp.bitwise_and(pk_blk, jnp.int8(15))
+        dp_ = jax.lax.dot_general(xq, pk_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        dul = jax.lax.dot_general(xq, ul, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return (dul.astype(jnp.float32) - 8.0 * xq_sum,
+                (dp_ - dul).astype(jnp.float32) * 0.0625)
+
     acc = jnp.zeros((x8.shape[0], meta.dp), jnp.float32)
+    acc_lo = jnp.zeros((x8.shape[0], dph), jnp.float32)    # w4 halves
+    acc_hi = jnp.zeros((x8.shape[0], dph), jnp.float32)
     for j in range(n_ff):                  # python-unrolled (static tiles)
         cgu, ggu = divmod(j, cg)
         cdn, gdn = divmod(j, cd)
@@ -644,46 +755,88 @@ def _kernel(
             if cdn + 1 < ndn_ch:
                 dn_copy(cdn + 1, (cdn + 1) % 2).start()
             dn_copy(cdn, sdn).wait()
-        if aligned:
-            gblk = awbuf[sgu, ggu]
-            ublk = bwbuf[sgu, ggu]
-        else:
-            gblk = awbuf[sgu, 0, :, :f]
-            ublk = awbuf[sgu, 0, :, f:2 * f]
-        gi = jax.lax.dot_general(
-            x8, gblk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        ui = jax.lax.dot_general(
-            x8, ublk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
         sg = gs_buf[:, j * ftile:(j + 1) * ftile]
         su = gs_buf[:, f + j * ftile:f + (j + 1) * ftile]
-        gf = gi.astype(jnp.float32) * sx * sg
-        uf = ui.astype(jnp.float32) * sx * su
+        if w4:
+            if aligned:
+                # packed tiles [D, T/2]: lo/hi land in the tile's halves
+                glo, ghi = _lanes4_halves(awbuf[sgu, ggu], x8, xsum_mlp)
+                ulo, uhi = _lanes4_halves(bwbuf[sgu, ggu], x8, xsum_mlp)
+                gi32 = jnp.concatenate([glo, ghi], axis=1)  # [BP, ftile]
+                ui32 = jnp.concatenate([ulo, uhi], axis=1)
+            else:
+                # tiny (interpret-only): gate+up share one padded tile;
+                # recovered channels 0..T cover gate 0..f, up f..2f
+                flo, fhi = _lanes4_halves(awbuf[sgu, 0], x8, xsum_mlp)
+                full = jnp.concatenate([flo, fhi], axis=1)
+                gi32 = full[:, :f]
+                ui32 = full[:, f:2 * f]
+            gf = gi32 * sx * sg
+            uf = ui32 * sx * su
+        else:
+            if aligned:
+                gblk = awbuf[sgu, ggu]
+                ublk = bwbuf[sgu, ggu]
+            else:
+                gblk = awbuf[sgu, 0, :, :f]
+                ublk = awbuf[sgu, 0, :, f:2 * f]
+            gi = jax.lax.dot_general(
+                x8, gblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            ui = jax.lax.dot_general(
+                x8, ublk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            gf = gi.astype(jnp.float32) * sx * sg
+            uf = ui.astype(jnp.float32) * sx * su
         t = jax.nn.gelu(gf, approximate=True) * uf        # [BP, ftile] f32
         t8, st = _quant_rows(t)                            # per-tile scales
-        di = jax.lax.dot_general(
-            t8, kwbuf[sdn, gdn, pl.ds(0, ftile), :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        acc = acc + di.astype(jnp.float32) * st
-    mlp_out = acc * dns_row
-    h32 = h32 + _rms(mlp_out[:, :d], n5, eps)
+        if w4:
+            # down is l4k (global channel pairing): per-tile act scales
+            # multiply each half's raw contribution before accumulation
+            dlo, dhi = _lanes4_halves(
+                kwbuf[sdn, gdn, pl.ds(0, ftile), :], t8, _qsum(t8))
+            acc_lo = acc_lo + dlo * st
+            acc_hi = acc_hi + dhi * st
+        else:
+            di = jax.lax.dot_general(
+                t8, kwbuf[sdn, gdn, pl.ds(0, ftile), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = acc + di.astype(jnp.float32) * st
+    if w4:
+        # assemble halves through acc_buf so the n5 rms reads offset-0
+        acc_buf[:, pl.ds(0, dph)] = acc_lo * dns_ref[:, pl.ds(0, dph)]
+        acc_buf[:, pl.ds(dph, dph)] = acc_hi * dns_ref[:, pl.ds(dph, dph)]
+        h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n5, eps)
+    else:
+        mlp_out = acc * dns_ref[...]
+        h32 = h32 + _rms(mlp_out[:, :d], n5, eps)
     hout_ref[...] = h32.astype(hout_ref.dtype)
 
 
+def uses_w4(params_layers: Dict[str, Any]) -> bool:
+    """Whether the decoder carries lanes4 int4 megakernel weights."""
+    from .quant import Lanes4Weight
+
+    sa = params_layers.get("self_attn", {})
+    return isinstance(sa.get("qkv"), Lanes4Weight)
+
+
 def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
-    """Whether the megakernel path applies: fused int8 W8A8 weights and a
-    dense-slab windowed cache in bf16 OR int8 (+ per-token scale planes;
-    fp8 keeps the two-kernel path)."""
-    from .quant import QuantWeight
+    """Whether the megakernel path applies: fused W8A8 int8 (or lanes4
+    int4, the batch-1 latency mode) weights and a dense-slab windowed
+    cache in bf16 OR int8 (+ per-token scale planes; fp8 keeps the
+    two-kernel path)."""
+    from .quant import Lanes4Weight, QuantWeight
 
     sa = params_layers.get("self_attn", {})
     ca = params_layers.get("cross_attn", {})
     mlp_p = params_layers.get("mlp", {})
     needed = [sa.get("qkv"), sa.get("o"), ca.get("q"), ca.get("o"),
               mlp_p.get("gate_up"), mlp_p.get("down")]
-    if not all(isinstance(w, QuantWeight) and w.act_bits == 8
-               for w in needed):
+    w4 = all(isinstance(w, Lanes4Weight) for w in needed)
+    if not w4 and not all(isinstance(w, QuantWeight) and w.act_bits == 8
+                          for w in needed):
         return False
     if not (cache.gen_k.dtype == jnp.bfloat16
             or (cache.gen_k.dtype == jnp.int8
@@ -691,6 +844,18 @@ def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
         return False
     ho = dims.num_heads * dims.head_dim
     f = dims.intermediate_size
+    if w4:
+        n_ok = all(w.layout == "l4n"
+                   for w in (sa["qkv"], ca["q"], mlp_p["gate_up"]))
+        k_ok = all(w.layout == "l4k"
+                   for w in (sa["o"], ca["o"], mlp_p["down"]))
+        if not (n_ok and k_ok):
+            return False
+        if jax.default_backend() != "tpu":
+            # tiny interpret dims: gate+up must share one padded tile
+            return f % WTILE == 0 or 2 * f <= WTILE
+        return (dims.hidden_size % 128 == 0 and dims.head_dim % 128 == 0
+                and ho % WTILE == 0 and f % WTILE == 0)
     n_ok = all(w.layout == "tiled_n"
                for w in (sa["qkv"], ca["q"], mlp_p["gate_up"]))
     if jax.default_backend() != "tpu":
@@ -708,24 +873,34 @@ def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("dims_key", "true_batch", "eps", "soft_cap", "q_scale",
-                     "interpret", "phases"),
+                     "interpret", "phases", "w4"),
 )
 def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
           li, plens, glens, elens, kv_scales=None, *, dims_key, true_batch,
           eps, soft_cap, q_scale, interpret,
-          phases=("self", "cross", "mlp")):
+          phases=("self", "cross", "mlp"), w4=False):
     (bp, d, heads, hkv, hd) = dims_key
     qkvw, ow, cqw, cow, guw, dnw = weights
     pk, pv, gk, gv, xk, xv = slabs
     kv_quant = kv_scales is not None
-    # "tiled_n" values are [L, NT, K, T]; padded width = NT * T
-    nqkv = qkvw.shape[1] * qkvw.shape[-1]
-    cqn = cqw.shape[1] * cqw.shape[-1]
-    ho = heads * hd
-    o_tiled = ow.ndim == 4
-    dn_tiled = dnw.ndim == 4
-    dp = ow.shape[-1]
-    f = (dnw.shape[1] * dnw.shape[2]) if dn_tiled else dnw.shape[-2]
+    if w4:
+        # lanes4: "l4n" [L, NT, K, T/2] (nibbles pack channel pairs),
+        # "l4k" [L, KT, TK, DP/2]; padded widths are twice the byte widths
+        nqkv = qkvw.shape[1] * qkvw.shape[-1] * 2
+        cqn = cqw.shape[1] * cqw.shape[-1] * 2
+        ho = heads * hd
+        o_tiled = dn_tiled = True
+        dp = ow.shape[-1] * 2
+        f = dnw.shape[1] * dnw.shape[2]
+    else:
+        # "tiled_n" values are [L, NT, K, T]; padded width = NT * T
+        nqkv = qkvw.shape[1] * qkvw.shape[-1]
+        cqn = cqw.shape[1] * cqw.shape[-1]
+        ho = heads * hd
+        o_tiled = ow.ndim == 4
+        dn_tiled = dnw.ndim == 4
+        dp = ow.shape[-1]
+        f = (dnw.shape[1] * dnw.shape[2]) if dn_tiled else dnw.shape[-2]
     t_p, t_g, t_x = pk.shape[2], gk.shape[2], xk.shape[2]
     meta = _Meta(nqkv=nqkv, cqn=cqn, ho=ho, dp=dp, f=f,
                  ppp=t_p // TBLOCK, ppg=t_g // TBLOCK, ppx=t_x // TBLOCK,
@@ -763,7 +938,7 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
     kernel = functools.partial(
         _kernel, meta=meta, true_batch=true_batch, hidden=d, heads=heads,
         kv_heads=hkv, head_dim=hd, eps=eps, soft_cap=soft_cap,
-        q_scale=q_scale, kv_quant=kv_quant, phases=phases)
+        q_scale=q_scale, kv_quant=kv_quant, phases=phases, w4=w4)
 
     n_layers = qkvw.shape[0]
 
@@ -802,9 +977,16 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
             full(bp, hkv * hd), full(bp, hkv * hd),
         ],
         scratch_shapes=(
-            pltpu.VMEM((2, CHUNK, d, WTILE), jnp.int8),
-            pltpu.VMEM((2, CHUNK, d, WTILE), jnp.int8),
-            pltpu.VMEM((2, CHUNK, WTILE, dp), jnp.int8),
+            # w4 halves the streamed-tile buffers: n-tiles are [D, T/2]
+            # packed bytes, k-tiles [TK, DP/2]
+            pltpu.VMEM((2, CHUNK, d, WTILE // 2 if w4 else WTILE), jnp.int8),
+            pltpu.VMEM((2, CHUNK, d, WTILE // 2 if w4 else WTILE), jnp.int8),
+            pltpu.VMEM(
+                (2, CHUNK,
+                 max(WTILE if ho % WTILE == 0 else ho,
+                     WTILE if f % WTILE == 0 else f) if w4 else WTILE,
+                 dp // 2 if w4 else dp),
+                jnp.int8),
             pltpu.VMEM((bp, nqkv), jnp.float32),
             pltpu.VMEM((bp, ho), jnp.float32),
             pltpu.VMEM((bp, dp), jnp.float32),
@@ -894,6 +1076,8 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
     per-token scale planes [Hkv, L*B, T] (prompt_k, prompt_v, gen_k,
     gen_v, cross_k, cross_v order) — buffers (models/t5gemma.py identity
     layout). Returns (h_out [B, D] f32, k_new/v_new [B, Hkv, hd] f32)."""
+    from .quant import Lanes4Weight
+
     sa = params_layers["self_attn"]
     ca = params_layers["cross_attn"]
     mlp_p = params_layers["mlp"]
@@ -902,12 +1086,11 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
         "pre_self_attn_norm", "post_self_attn_norm",
         "pre_cross_attn_norm", "post_cross_attn_norm",
         "pre_ff_norm", "post_ff_norm"))
-    scales = tuple(w.scale.astype(jnp.float32) for w in (
-        sa["qkv"], sa["o"], ca["q"], ca["o"], mlp_p["gate_up"],
-        mlp_p["down"]))
-    weights = (sa["qkv"].values, sa["o"].values, ca["q"].values,
-               ca["o"].values, mlp_p["gate_up"].values,
-               mlp_p["down"].values)
+    wleaves = (sa["qkv"], sa["o"], ca["q"], ca["o"], mlp_p["gate_up"],
+               mlp_p["down"])
+    w4 = isinstance(sa["qkv"], Lanes4Weight)
+    scales = tuple(w.scale.astype(jnp.float32) for w in wleaves)
+    weights = tuple(w.packed if w4 else w.values for w in wleaves)
     slabs = (prompt_k, prompt_v, gen_k, gen_v, cross_k, cross_v)
 
     b = h.shape[0]
@@ -926,7 +1109,8 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
         _pad_rows(elens, bp), kv_scales,
         dims_key=dims_key, true_batch=b, eps=dims.rms_norm_eps,
         soft_cap=dims.attn_logit_softcap,
-        q_scale=float(dims.q_scale), interpret=interpret, phases=phases)
+        q_scale=float(dims.q_scale), interpret=interpret, phases=phases,
+        w4=w4)
     # row-major [BP, Hkv*hd] -> engine layout [B, Hkv, hd]: free reshape
     # (the head-major kernel outputs exist only for the in-kernel
     # current-token read; a transpose here cost ~52 XLA launches/step)

@@ -248,6 +248,10 @@ def q_matmul(x: jnp.ndarray, w: Union[jnp.ndarray, QuantWeight]) -> jnp.ndarray:
         base = q_matmul(x, w.w)
         upd = (x @ w.a.astype(x.dtype)) @ w.b.astype(x.dtype)
         return base + upd * jnp.asarray(w.scale, base.dtype)
+    if isinstance(w, Lanes4Weight):
+        *lead, k = x.shape
+        out = _w4a8_2d_xla(x.reshape(-1, k), w)
+        return out[:, : w.n].reshape(*lead, w.n)
     if not isinstance(w, QuantWeight):
         return x @ w
     *lead, k = x.shape
@@ -282,19 +286,47 @@ _QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down", "w1", "w2",
                "qkv", "gate_up")
 
 
+_W4_KEYS = ("qkv", "o", "gate_up", "down")   # + cross_attn "q"
+_W4_K_MAJOR = ("o", "down")
+
+
 def quantize_params_for_decode(params, quantize_encoder: bool = False,
                                act_bits: int = 8,
-                               streaming_tiled: bool = None):
+                               streaming_tiled: bool = None,
+                               weight_bits: int = 8):
     """Quantize the weight-bandwidth-heavy matmuls of the voice model for
     inference. By default the decoder stack + prediction head (read every
     decode step) go int8; the encoder (read once per utterance) stays bf16
     unless ``quantize_encoder``. ``act_bits`` picks W8A8 (8) or W8A16 (16).
     ``streaming_tiled`` re-layouts the stacked decoder weights for the
-    megakernel's DMA streams (default: on when T5G_FUSED_ATTN=3)."""
+    megakernel's DMA streams (default: on when T5G_FUSED_ATTN=3).
+
+    ``weight_bits=4`` is the batch-1 LATENCY mode: the six megakernel
+    matmuls (fused qkv, self o, cross q, cross o, gate_up, down — the
+    2.27 GB/step that bounds batch-1 decode) pack to lane-halves int4
+    (``Lanes4Weight``), everything else keeps int8. Speed/quality
+    tradeoff — see the lanes4 section header."""
+    if weight_bits not in (8, 4):
+        raise ValueError(f"weight_bits must be 8 or 4, got {weight_bits}")
+
+    def walk4(path, leaf):
+        # int4 applies only to stacked decoder leaves the megakernel streams
+        keys = [getattr(k, "key", None) for k in path]
+        if not keys or keys[0] != "decoder" or getattr(leaf, "ndim", 0) != 3:
+            return None
+        name = keys[-1]
+        if name in _W4_KEYS or (name == "q" and "cross_attn" in keys):
+            return quantize_weight_lanes4(leaf, k_major=name in _W4_K_MAJOR)
+        return None
+
     def walk(path, leaf):
         keys = [getattr(k, "key", None) for k in path]
         if not keys:
             return leaf
+        if weight_bits == 4:
+            w4 = walk4(path, leaf)
+            if w4 is not None:
+                return w4
         if keys[0] == "decoder" or (quantize_encoder and keys[0] == "encoder"):
             if keys[-1] in _QUANT_KEYS and getattr(leaf, "ndim", 0) == 3:
                 return quantize_weight(leaf, act_bits=act_bits)
@@ -450,3 +482,133 @@ def retile_for_streaming(params, tile: int = N_TILE):
 
     return jax.tree_util.tree_map_with_path(
         walk, params, is_leaf=lambda x: isinstance(x, QuantWeight))
+
+
+# ---------------------------------------------------------------------------
+# W4A8 "lanes4": megakernel-native int4 packing (AND-mask dot scheme)
+# ---------------------------------------------------------------------------
+#
+# The batch-1 decode step is weight-DMA-bound with a hard int8 floor:
+# 2.27 GB/step at ~800 GB/s peak is ~2.84 ms, i.e. >= 8x realtime at batch 1
+# is UNREACHABLE with int8 weights. int4 halves the bytes — but on this
+# terminal's libtpu the only int8 vector op Mosaic legalizes is bitwise AND
+# (shli/shrsi/muli/subi all fail to legalize; bisected 2026-08-17 with
+# minimal probes, see tools/probe_int4_unpack.py). So the kernel never
+# unpacks nibbles. Instead:
+#
+#   byte p = ((q_hi & 15) << 4) | (q_lo + 8)      # hi signed, lo offset-8
+#   value(p) = 16*q_hi + (q_lo + 8)               # exact as signed int8
+#
+# pairing output channels (c, c + T/2) of each weight tile in one byte
+# ("lane halves": nibble pairing along N, NOT K, so both nibbles contract
+# the SAME activation). Two int8 MXU dots recover both halves exactly:
+#
+#   D_p  = x8 @ p            = 16*(x8 . q_hi) + (x8 . q_lo) + 8*sum(x8)
+#   D_ul = x8 @ (p & 15)     =                  (x8 . q_lo) + 8*sum(x8)
+#   x8 . q_hi = (D_p - D_ul) / 16                 # exact multiple of 16
+#   x8 . q_lo = D_ul - 8*sum(x8)                  # sum(x8) once per matmul
+#
+# All arithmetic after the dots is on [M, T/2] int32/f32 OUTPUTS (tiny);
+# the only per-byte op is one AND. Scales are per OUTPUT CHANNEL (absmax/7
+# over the full K, like the int8 path): per-group scales would need
+# K/group dots per tile (measured-class MXU issue overhead) — the Gaussian
+# error difference is ~14.4% vs ~12% and the mode is already the
+# documented speed/quality tradeoff. Whether audio quality survives W4
+# must be validated on the released checkpoint (offline-blocked).
+
+
+class Lanes4Weight(NamedTuple):
+    """int4 weights in the megakernel's lane-halves packing.
+
+    layout "l4n" (N-streamed: qkv / cross-q / gate_up):
+        packed [..., NT, K, T/2] — tile j packs channels (j*T + c) in the
+        low nibble and (j*T + T/2 + c) in the high nibble of byte column c.
+    layout "l4k" (K-streamed: o / cross-o / down):
+        packed [..., KT, TK, N_pad/2] — byte column c packs channels c
+        (low) and c + N_pad/2 (high), K split into TK-row tiles.
+    scale: f32 [..., N_pad] per-channel (absmax/7), natural channel order.
+    """
+
+    packed: jnp.ndarray
+    scale: jnp.ndarray
+    n: int                 # true (unpadded) output dim — static
+    layout: str            # "l4n" | "l4k"
+
+
+jax.tree_util.register_pytree_node(
+    Lanes4Weight,
+    lambda qw: ((qw.packed, qw.scale), (qw.n, qw.layout)),
+    lambda aux, leaves: Lanes4Weight(leaves[0], leaves[1], *aux),
+)
+
+
+def _pack_pair(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """(q_lo, q_hi) int8 in [-7, 7] -> packed byte 16*q_hi + (q_lo + 8)."""
+    hi4 = jnp.bitwise_and(hi, 15)
+    return jnp.bitwise_or(jnp.left_shift(hi4, 4),
+                          (lo + jnp.int8(8))).astype(jnp.int8)
+
+
+def quantize_weight_lanes4(w: jnp.ndarray, k_major: bool,
+                           n_tile: int = N_TILE) -> Lanes4Weight:
+    """Per-channel absmax int4 quantization straight into a stream layout."""
+    *lead, k, n = w.shape
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2)                   # [..., N]
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7).astype(jnp.int8)
+    n_pad = -(-n // n_tile) * n_tile
+    if n_pad != n:
+        q = jnp.pad(q, [(0, 0)] * len(lead) + [(0, 0), (0, n_pad - n)])
+        scale = jnp.pad(scale, [(0, 0)] * len(lead) + [(0, n_pad - n)])
+    half = n_tile // 2
+    if k_major:
+        packed = _pack_pair(q[..., : n_pad // 2], q[..., n_pad // 2:])
+        tk = n_tile if k % n_tile == 0 else k
+        packed = packed.reshape(*lead, k // tk, tk, n_pad // 2)
+        return Lanes4Weight(packed, scale, n, "l4k")
+    qt = q.reshape(*lead, k, n_pad // n_tile, n_tile)
+    packed = _pack_pair(qt[..., :half], qt[..., half:])
+    packed = jnp.moveaxis(packed, -2, -3)        # [..., NT, K, T/2]
+    return Lanes4Weight(packed, scale, n, "l4n")
+
+
+def dequantize_lanes4(qw: Lanes4Weight) -> jnp.ndarray:
+    """Reference dequantization: exact nibble decode + per-channel scale."""
+    p = qw.packed.astype(jnp.int32)
+    ul = jnp.bitwise_and(p, 15)                  # q_lo + 8, in [1, 15]
+    q_lo = (ul - 8).astype(jnp.float32)
+    q_hi = ((p - ul) // 16).astype(jnp.float32)  # exact (signed multiple)
+    if qw.layout == "l4n":
+        # [..., NT, K, T/2] x2 -> [..., K, NT*T]
+        q = jnp.concatenate([q_lo, q_hi], axis=-1)          # [..., NT, K, T]
+        q = jnp.moveaxis(q, -3, -2)
+        q = q.reshape(*q.shape[:-2], -1)
+    else:
+        # [..., KT, TK, N/2] x2 -> [..., K, N]
+        q = jnp.concatenate([q_lo, q_hi], axis=-1)
+        q = q.reshape(*q.shape[:-3], -1, q.shape[-1])
+    return (q * qw.scale[..., None, :])[..., : qw.n]
+
+
+def _w4a8_2d_xla(x: jnp.ndarray, w: Lanes4Weight) -> jnp.ndarray:
+    """XLA oracle with the kernel's EXACT math: per-row int8 activations,
+    int8 dot against the decoded int4 levels, f32 rescale. (Used by
+    prefill and the non-megakernel fallback paths; correctness-grade.)"""
+    x8, sx = _quantize_act(x)
+    p = w.packed.astype(jnp.int32)
+    ul = jnp.bitwise_and(p, 15)
+    q_lo = (ul - 8).astype(jnp.int8)
+    q_hi = ((p - ul) // 16).astype(jnp.int8)
+    if w.layout == "l4n":
+        qv = jnp.concatenate([q_lo, q_hi], axis=-1)         # [NT, K, T]
+        o = jax.lax.dot_general(x8, qv, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        o = o.reshape(x.shape[0], -1)
+    else:
+        qv = jnp.concatenate([q_lo, q_hi], axis=-1)         # [KT, TK, N]
+        kt, tk, n_pad = qv.shape
+        o = jax.lax.dot_general(x8.reshape(x.shape[0], kt, tk), qv,
+                                (((1, 2), (0, 1)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    return (o.astype(jnp.float32) * sx * w.scale[None, :]).astype(x.dtype)

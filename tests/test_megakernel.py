@@ -220,3 +220,76 @@ def test_megakernel_int8_kv_respects_lengths():
     hp, _ = _run(3, dec, dims, poison, emb, pos, plens, elens, step)
     np.testing.assert_allclose(np.asarray(hp, np.float32),
                                np.asarray(h3, np.float32), atol=1e-5)
+
+
+def _setup_w4(b=2, step=5, seed=0):
+    """lanes4 int4 weights (the batch-1 latency mode). Mode 0 runs the
+    SAME Lanes4Weight params through q_matmul's exact XLA lanes4 dispatch,
+    so kernel-vs-unfused tolerances stay at activation-quant level — the
+    int4 weight error is common to both sides."""
+    cfg = tiny_voice_config()
+    dims = dataclasses.replace(cfg.backbone.decoder, sliding_window=4096)
+    params = voice.init_params(jax.random.PRNGKey(seed), cfg)
+    params = t5gemma.fuse_for_decode(params)
+    params = quantize_params_for_decode(params, streaming_tiled=True,
+                                        weight_bits=4)
+    dec = params["decoder"]
+
+    from t5gemma_tts_tpu.ops.megakernel import supports, uses_w4
+    assert uses_w4(dec["layers"])
+    cache = t5gemma.init_paged_cache(dims, b, 5, 6, 7)
+    assert supports(dec["layers"], dims, cache)
+
+    def fill(x, k):
+        if x is None:
+            return None
+        return (jax.random.normal(jax.random.PRNGKey(k), x.shape,
+                                  jnp.float32) * 0.5).astype(x.dtype)
+
+    cache = cache._replace(
+        prompt_k=fill(cache.prompt_k, 1), prompt_v=fill(cache.prompt_v, 2),
+        gen_k=fill(cache.gen_k, 3), gen_v=fill(cache.gen_v, 4),
+        cross_k=fill(cache.cross_k, 5), cross_v=fill(cache.cross_v, 6),
+        pending_k=fill(cache.pending_k, 7),
+        pending_v=fill(cache.pending_v, 8),
+    )
+
+    rng = np.random.default_rng(seed)
+    emb = jnp.asarray(rng.normal(size=(b, 1, dims.hidden_size)) * 0.3,
+                      jnp.bfloat16)
+    pos = jnp.asarray(rng.uniform(0, 100, (b, 1)), jnp.float32)
+    plens = jnp.asarray([3, 5][:b], jnp.int32)
+    elens = jnp.asarray([7, 2][:b], jnp.int32)
+    return cfg, dims, dec, cache, emb, pos, plens, elens, jnp.int32(step)
+
+
+def test_megakernel_w4_matches_unfused():
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup_w4()
+    h0, c0 = _run(0, dec, dims, cache, emb, pos, plens, elens, step)
+    h3, c3 = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+
+    np.testing.assert_array_equal(np.asarray(c0.gen_k), np.asarray(c3.gen_k))
+    assert _rel(c3.pending_k, c0.pending_k) < 2e-2
+    assert _rel(c3.pending_v, c0.pending_v) < 2e-2
+    assert np.isfinite(np.asarray(h3, np.float32)).all()
+    assert _rel(h3, h0) < 5e-2
+
+
+def test_megakernel_w4_respects_lengths():
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup_w4()
+    h3, _ = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+    poison = cache._replace(
+        prompt_k=cache.prompt_k.at[:, :, 5:, :].set(99.0),
+        cross_v=cache.cross_v.at[:, :, 7:, :].set(-77.0),
+        gen_k=cache.gen_k.at[:, :, int(step):, :].set(55.0),
+    )
+    hp, _ = _run(3, dec, dims, poison, emb, pos, plens, elens, step)
+    np.testing.assert_allclose(np.asarray(hp, np.float32),
+                               np.asarray(h3, np.float32), atol=1e-5)
+
+
+def test_megakernel_w4_batch_one():
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup_w4(b=1)
+    h0, _ = _run(0, dec, dims, cache, emb, pos, plens, elens, step)
+    h3, _ = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+    assert _rel(h3, h0) < 5e-2

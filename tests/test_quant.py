@@ -168,3 +168,72 @@ def test_w4a8_matmul_error_vs_w8a8():
     e4 = rel(q4_matmul(x, quantize_weight_int4(w, group=128, n_tile=32)))
     assert e4 < 0.16, e4           # ~12% on Gaussian weights (see docstring)
     assert 5 * e8 < e4 < 20 * e8   # ordered as the quantization math predicts
+
+
+def test_lanes4_pack_dequant_exact_levels():
+    """lanes4 packing (megakernel int4): nibble decode is exact, channel
+    pairing is (c, c + T/2) tile-local for l4n / global for l4k."""
+    from t5gemma_tts_tpu.ops.quant import (
+        dequantize_lanes4, quantize_weight_lanes4,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(128, 300)).astype(np.float32) * 0.05)
+    for km in (False, True):
+        qw = quantize_weight_lanes4(w, k_major=km)
+        deq = np.asarray(dequantize_lanes4(qw))
+        assert deq.shape == (128, 300)
+        s = np.asarray(qw.scale)[:300]
+        err = np.abs(deq - np.asarray(w)) / np.maximum(s[None, :], 1e-9)
+        assert err.max() <= 0.5 + 1e-3     # absmax/7 levels, exact decode
+
+
+def test_lanes4_matmul_matches_dequantized_reference():
+    from t5gemma_tts_tpu.ops.quant import (
+        dequantize_lanes4, q_matmul, quantize_weight_lanes4,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(5, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 640)).astype(np.float32) * 0.1)
+    for km in (False, True):
+        qw = quantize_weight_lanes4(w, k_major=km)
+        got = np.asarray(q_matmul(x, qw))
+        ref = np.asarray(x) @ np.asarray(dequantize_lanes4(qw))
+        assert got.shape == (5, 640)
+        rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 0.02, rel             # activation-quant noise only
+
+
+def test_w4_decode_runs_and_stops():
+    """End-to-end tiny decode with weight_bits=4 params (megakernel off-CPU
+    falls back through q_matmul's exact lanes4 dispatch)."""
+    from t5gemma_tts_tpu.decode import engine
+    from t5gemma_tts_tpu.models.t5gemma import fuse_for_decode
+    from t5gemma_tts_tpu.ops.quant import Lanes4Weight
+
+    cfg = tiny_voice_config(extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    params = fuse_for_decode(params)
+    qparams = quant.quantize_params_for_decode(params, weight_bits=4)
+    lay = qparams["decoder"]["layers"]
+    assert isinstance(lay["self_attn"]["qkv"], Lanes4Weight)
+    assert isinstance(lay["mlp"]["down"], Lanes4Weight)
+    assert lay["self_attn"]["qkv"].layout == "l4n"
+    assert lay["mlp"]["down"].layout == "l4k"
+    # non-megakernel matmuls stay int8
+    assert isinstance(qparams["head"]["w2"], quant.QuantWeight)
+
+    rng = np.random.default_rng(0)
+    b = 2
+    x = jnp.asarray(rng.integers(3, cfg.text_vocab_size, (b, 6)).astype(np.int32))
+    x_lens = jnp.full((b,), 6, jnp.int32)
+    prompt = jnp.full((b, 4), cfg.special.pad, jnp.int32)
+    prompt_lens = jnp.zeros((b,), jnp.int32)
+    targets = jnp.full((b,), 10, jnp.int32)
+    dcfg = DecodeConfig(top_k=1, temperature=1.0, max_frames=14)
+    out = engine.decode_tokens(qparams, cfg, dcfg, x, x_lens, prompt,
+                               prompt_lens, targets, jax.random.PRNGKey(0))
+    lens = np.asarray(out.gen_lens)
+    assert (lens > 0).all()
+    assert np.isin(cfg.eog_inference, np.asarray(out.tokens))

@@ -27,7 +27,7 @@ def _run_cli(argv):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, "-m", "t5gemma_tts_tpu.train.cli", *argv],
-        capture_output=True, text=True, timeout=900, env=env)
+        capture_output=True, text=True, timeout=2400, env=env)
     assert proc.returncode == 0, (
         f"train CLI failed\nstdout:\n{proc.stdout[-4000:]}\n"
         f"stderr:\n{proc.stderr[-4000:]}")

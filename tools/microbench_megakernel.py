@@ -29,6 +29,8 @@ def main():
                     help="override intermediate_size (compile-scaling probes)")
     ap.add_argument("--phases", default="self,cross,mlp",
                     help="comma list of kernel phases (bring-up bisection)")
+    ap.add_argument("--w4", action="store_true",
+                    help="lanes4 int4 weights (batch-1 latency mode)")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +40,7 @@ def main():
     from t5gemma_tts_tpu.models import t5gemma
     from t5gemma_tts_tpu.ops import megakernel as mk
     from t5gemma_tts_tpu.ops.quant import (
-        quantize_weight, retile_for_streaming,
+        quantize_weight, quantize_weight_lanes4, retile_for_streaming,
     )
 
     import dataclasses
@@ -54,16 +56,20 @@ def main():
     b = args.batch
     key = jax.random.PRNGKey(0)
 
-    def qw(k, shape):
+    def qw(k, shape, k_major=False):
         w = jax.random.normal(jax.random.fold_in(key, k), shape,
                               jnp.float32) * 0.02
+        if args.w4:
+            return quantize_weight_lanes4(w, k_major=k_major)
         return quantize_weight(w)
 
     layers = {
         "self_attn": {"qkv": qw(1, (l, d, ho + 2 * hkv * hd)),
-                      "o": qw(2, (l, ho, d))},
-        "cross_attn": {"q": qw(3, (l, d, ho)), "o": qw(4, (l, ho, d))},
-        "mlp": {"gate_up": qw(5, (l, d, 2 * f)), "down": qw(6, (l, f, d))},
+                      "o": qw(2, (l, ho, d), k_major=True)},
+        "cross_attn": {"q": qw(3, (l, d, ho)),
+                       "o": qw(4, (l, ho, d), k_major=True)},
+        "mlp": {"gate_up": qw(5, (l, d, 2 * f)),
+                "down": qw(6, (l, f, d), k_major=True)},
     }
     for i, name in enumerate(("pre_self_attn_norm", "post_self_attn_norm",
                               "pre_cross_attn_norm", "post_cross_attn_norm",
@@ -134,7 +140,7 @@ def main():
     t4 = timed(loop4)
     dt = max(t4 - t1, 1e-9) / (3 * n1)
     per_layer_bytes = sum(
-        int(np.prod(w.values.shape))
+        int(np.prod((w.packed if args.w4 else w.values).shape))
         for grp in ("self_attn", "cross_attn", "mlp")
         for w in layers[grp].values()) // args.layers
     print(f"megakernel layer: {dt*1e3:.3f} ms "
