@@ -24,7 +24,7 @@ log = logging.getLogger(__name__)
 
 @lru_cache(maxsize=1)
 def _load_resources(model_dir: str, codec_dir: Optional[str],
-                    random_codec: bool):
+                    random_codec: bool, quantize: str = "none"):
     from argparse import Namespace
 
     from .cli import _load_codec, _text_tokenizer
@@ -36,7 +36,8 @@ def _load_resources(model_dir: str, codec_dir: Optional[str],
                            xcodec2_model_name=None)
     audio_tok = _load_codec(codec_args, hf_cfg)
     text_tok = _text_tokenizer(hf_cfg)
-    return TTSPipeline(params, cfg, text_tok, audio_tok)
+    return TTSPipeline(params, cfg, text_tok, audio_tok,
+                       int8=quantize == "int8", int4=quantize == "int4")
 
 
 @lru_cache(maxsize=1)
@@ -53,7 +54,7 @@ def _load_whisper():
 
 
 def make_infer_fn(model_dir: str, codec_dir: Optional[str] = None,
-                  random_codec: bool = False, *,
+                  random_codec: bool = False, *, quantize: str = "none",
                   error_cls=RuntimeError, whisper_loader=None):
     """The synthesis callback behind the UI button, gradio-free so tests can
     drive it directly (errors raise ``error_cls``; build_demo passes
@@ -65,7 +66,8 @@ def make_infer_fn(model_dir: str, codec_dir: Optional[str] = None,
 
     def infer(reference_audio, reference_text, target_text, target_duration,
               seed, top_k, top_p, min_p, temperature):
-        pipe = _load_resources(model_dir, codec_dir, random_codec)
+        pipe = _load_resources(model_dir, codec_dir, random_codec,
+                               quantize)
         if not target_text:
             raise error_cls("target text is required")
         if seed in (None, "", 0):
@@ -99,11 +101,11 @@ def make_infer_fn(model_dir: str, codec_dir: Optional[str] = None,
 
 
 def build_demo(model_dir: str, codec_dir: Optional[str] = None,
-               random_codec: bool = False):
+               random_codec: bool = False, quantize: str = "none"):
     import gradio as gr
 
     infer = make_infer_fn(model_dir, codec_dir, random_codec,
-                          error_cls=gr.Error)
+                          quantize=quantize, error_cls=gr.Error)
 
     with gr.Blocks(title="T5Gemma-TTS (TPU)") as demo:
         gr.Markdown("## T5Gemma-TTS — TPU-native synthesis")
@@ -142,10 +144,15 @@ def main(argv=None):
     ap.add_argument("--model_dir", required=True)
     ap.add_argument("--codec_dir", default=None)
     ap.add_argument("--random_codec", action="store_true")
+    ap.add_argument("--quantize", default="none",
+                    choices=["none", "int8", "int4"],
+                    help="decode-weight quantization (int4 = batch-1 "
+                         "latency mode; speed/quality tradeoff)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7860)
     args = ap.parse_args(argv)
-    demo = build_demo(args.model_dir, args.codec_dir, args.random_codec)
+    demo = build_demo(args.model_dir, args.codec_dir, args.random_codec,
+                      args.quantize)
     demo.launch(server_name=args.host, server_port=args.port)
 
 

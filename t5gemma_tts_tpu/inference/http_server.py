@@ -9,7 +9,12 @@ POST /synthesize_streaming   same body -> chunked audio/wav: a streaming
     followed by PCM16 pieces as decode segments finalize — time-to-first
     audio is ~1 s of generation, not the whole utterance. Bypasses the
     batch collector (single-row decode via pipeline.synthesize_streaming).
-GET  /healthz        JSON server stats
+GET  /healthz        JSON server stats (never authenticated — probes)
+GET  /metrics        Prometheus text exposition (request/batch counters,
+                     synthesized audio seconds, uptime)
+
+Optional bearer auth: pass --auth_token (or set T5G_AUTH_TOKEN); when set,
+/synthesize* and /metrics require ``Authorization: Bearer <token>``.
 
 Requests from concurrent clients batch on the decode axis via
 BatchingServer (cross-bucket packed); each HTTP connection is handled on
@@ -20,10 +25,12 @@ reference inference_gradio.py) — this is beyond-parity.
 
 from __future__ import annotations
 
+import hmac
 import io
 import json
 import logging
 import threading
+import time
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -67,6 +74,9 @@ class _Handler(BaseHTTPRequestHandler):
     backend: BatchingServer = None  # type: ignore[assignment]
     sample_rate: int = 44100
     request_timeout: float = 600.0
+    auth_token: Optional[str] = None
+    started_at: float = 0.0
+    audio_seconds: "list" = None  # [total] mutable cell shared per server
 
     def log_message(self, fmt, *args):  # route to logging, not stderr
         log.debug("http: " + fmt, *args)
@@ -79,23 +89,62 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _authorized(self) -> bool:
+        """Bearer-token check (constant-time compare); /healthz is exempt
+        so liveness probes never need credentials."""
+        if not self.auth_token:
+            return True
+        got = self.headers.get("Authorization", "")
+        return got.startswith("Bearer ") and hmac.compare_digest(
+            got[len("Bearer "):], self.auth_token)
+
     def do_GET(self):
-        if self.path != "/healthz":
-            return self._json(404, {"error": "not found"})
-        st = self.backend.stats
-        self._json(200, {
-            "ok": True,
-            "requests": st.requests,
-            "batches": st.batches,
-            "batch_sizes": st.batch_sizes[-16:],
-        })
+        if self.path == "/healthz":
+            st = self.backend.stats
+            return self._json(200, {
+                "ok": True,
+                "requests": st.requests,
+                "batches": st.batches,
+                "batch_sizes": st.batch_sizes[-16:],
+            })
+        if self.path == "/metrics":
+            if not self._authorized():
+                return self._json(401, {"error": "unauthorized"})
+            st = self.backend.stats
+            sizes = st.batch_sizes
+            lines = [
+                "# TYPE tts_requests_total counter",
+                f"tts_requests_total {st.requests}",
+                "# TYPE tts_batches_total counter",
+                f"tts_batches_total {st.batches}",
+                "# TYPE tts_last_batch_size gauge",
+                f"tts_last_batch_size {sizes[-1] if sizes else 0}",
+                "# TYPE tts_audio_seconds_total counter",
+                f"tts_audio_seconds_total {self.audio_seconds[0]:.3f}",
+                "# TYPE tts_uptime_seconds gauge",
+                f"tts_uptime_seconds {time.time() - self.started_at:.1f}",
+            ]
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        return self._json(404, {"error": "not found"})
 
     def do_POST(self):
+        # drain the request body FIRST: replying (404/401) without
+        # consuming it desynchronizes the HTTP/1.1 keep-alive stream —
+        # the unread JSON body parses as the next request line (400s)
+        n = int(self.headers.get("Content-Length", 0))
+        raw = self.rfile.read(n) if n else b""
         if self.path not in ("/synthesize", "/synthesize_streaming"):
             return self._json(404, {"error": "not found"})
+        if not self._authorized():
+            return self._json(401, {"error": "unauthorized"})
         try:
-            n = int(self.headers.get("Content-Length", 0))
-            payload = json.loads(self.rfile.read(n) or b"{}")
+            payload = json.loads(raw or b"{}")
             text = payload.get("target_text", "")
             if not text:
                 return self._json(400, {"error": "target_text required"})
@@ -123,6 +172,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "frames": np.asarray(res.gen_frames).tolist(),
                 "rtf": res.rtf,
             })
+        self.audio_seconds[0] += len(np.asarray(wav)) / self.sample_rate
         body = wav_bytes(wav, self.sample_rate)
         self.send_response(200)
         self.send_header("Content-Type", "audio/wav")
@@ -153,6 +203,7 @@ class _Handler(BaseHTTPRequestHandler):
             for piece in gen:
                 body = pcm16(piece)
                 if body:
+                    self.audio_seconds[0] += len(body) / 2 / self.sample_rate
                     chunk(body)
             self.wfile.write(b"0\r\n\r\n")  # chunked terminator
         except Exception:
@@ -164,12 +215,15 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve(backend: BatchingServer, host: str = "0.0.0.0", port: int = 8000,
           sample_rate: int = 44100,
-          block: bool = True) -> Optional[ThreadingHTTPServer]:
+          block: bool = True,
+          auth_token: Optional[str] = None) -> Optional[ThreadingHTTPServer]:
     """Start the HTTP server. With block=False returns the server (caller
     shuts it down with .shutdown()); the port actually bound is
     ``server.server_address[1]`` (pass port=0 for an ephemeral port)."""
     handler = type("Handler", (_Handler,), {
         "backend": backend, "sample_rate": sample_rate,
+        "auth_token": auth_token, "started_at": time.time(),
+        "audio_seconds": [0.0],
     })
     httpd = ThreadingHTTPServer((host, port), handler)
     if block:
@@ -201,10 +255,21 @@ def main(argv=None):
     ap.add_argument("--random_codec", action="store_true",
                     help="random codec weights (testing only)")
     ap.add_argument("--no_warmup", action="store_true")
+    ap.add_argument("--quantize", default="none",
+                    choices=["none", "int8", "int4"],
+                    help="decode-weight quantization (int8 = the serving "
+                         "config bench.py records; int4 = batch-1 latency)")
+    ap.add_argument("--auth_token", default=None,
+                    help="require 'Authorization: Bearer <token>' on "
+                         "/synthesize* and /metrics (default: "
+                         "$T5G_AUTH_TOKEN if set; /healthz stays open)")
     args = ap.parse_args(argv)
+    import os as _os
+
+    auth_token = args.auth_token or _os.environ.get("T5G_AUTH_TOKEN") or None
 
     pipe = _load_resources(args.model_dir, args.codec_dir,
-                           args.random_codec)
+                           args.random_codec, args.quantize)
     if args.continuous:
         from .server import ContinuousServer
 
@@ -215,7 +280,8 @@ def main(argv=None):
                                  warmup=not args.no_warmup)
     sr = (pipe.audio_tokenizer.sample_rate
           if pipe.audio_tokenizer is not None else 44100)
-    serve(backend, args.host, args.port, sample_rate=sr)
+    serve(backend, args.host, args.port, sample_rate=sr,
+          auth_token=auth_token)
 
 
 if __name__ == "__main__":

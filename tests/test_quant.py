@@ -237,3 +237,42 @@ def test_w4_decode_runs_and_stops():
     lens = np.asarray(out.gen_lens)
     assert (lens > 0).all()
     assert np.isin(cfg.eog_inference, np.asarray(out.tokens))
+
+
+def test_w4_model_ce_perturbation_bounded():
+    """Model-level quality proxy on the tiny backbone: the full forward's
+    mean CE under int4 weights stays finite and within a modest band of the
+    bf16 CE (and int8 within a tighter one). Element-level int4-vs-int8
+    error ratios are pinned above; released-weight validation is
+    environment-blocked — this guards against the end-to-end stack
+    amplifying the quantization error pathologically."""
+    from t5gemma_tts_tpu.models.t5gemma import fuse_for_decode
+    from t5gemma_tts_tpu.models import voice as voice_mod
+
+    cfg = tiny_voice_config()
+    params = voice_mod.init_params(jax.random.PRNGKey(3), cfg)
+    params = fuse_for_decode(params)
+    p8 = quant.quantize_params_for_decode(params, weight_bits=8)
+    p4 = quant.quantize_params_for_decode(params, weight_bits=4)
+
+    rng = np.random.default_rng(0)
+    b = 2
+    batch = {
+        "x": jnp.asarray(rng.integers(3, cfg.text_vocab_size, (b, 6)),
+                         jnp.int32),
+        "x_lens": jnp.full((b,), 6, jnp.int32),
+        "y": jnp.asarray(rng.integers(0, cfg.audio_vocab_size, (b, 8)),
+                         jnp.int32),
+        "y_lens": jnp.full((b,), 8, jnp.int32),
+        "y_sep_position": jnp.zeros((b,), jnp.int32),
+    }
+    ce_ref = float(voice_mod.forward(params, cfg, batch).mean_ce)
+
+    def drift(p):
+        ce = float(voice_mod.forward(p, cfg, batch).mean_ce)
+        assert np.isfinite(ce)
+        return abs(ce - ce_ref) / max(abs(ce_ref), 1e-9)
+
+    d8, d4 = drift(p8), drift(p4)
+    assert d8 < 0.05, d8            # int8: ~1% weight error barely moves CE
+    assert d4 < 0.30, d4            # int4: coarser but bounded, not exploded

@@ -156,6 +156,41 @@ def test_http_server_end_to_end():
         sbody = sresp.read()
         assert sbody[:4] == b"RIFF" and sbody[8:12] == b"WAVE"
         assert len(sbody) > 44 + 2 * 10  # header + some PCM samples
+
+        # metrics: Prometheus text exposition with live counters
+        conn.request("GET", "/metrics")
+        m = conn.getresponse()
+        assert m.status == 200
+        mtext = m.read().decode()
+        assert "tts_requests_total" in mtext
+        assert "tts_audio_seconds_total" in mtext
+        audio_line = [ln for ln in mtext.splitlines()
+                      if ln.startswith("tts_audio_seconds_total")][0]
+        assert float(audio_line.split()[1]) > 0.0
+
+        # bearer auth: a second front-end over the same backend
+        httpd2 = http_server.serve(backend, host="127.0.0.1", port=0,
+                                   sample_rate=ccfg.sample_rate, block=False,
+                                   auth_token="sekrit")
+        try:
+            h2, p2 = httpd2.server_address
+            c2 = http.client.HTTPConnection(h2, p2, timeout=60)
+            c2.request("GET", "/healthz")      # probes never need auth
+            ok = c2.getresponse()
+            assert ok.status == 200
+            ok.read()
+            c2.request("POST", "/synthesize", json.dumps(
+                {"target_text": "nope"}), {"Content-Type": "application/json"})
+            denied = c2.getresponse()
+            assert denied.status == 401
+            denied.read()
+            c2.request("GET", "/metrics",
+                       headers={"Authorization": "Bearer sekrit"})
+            ok2 = c2.getresponse()
+            assert ok2.status == 200
+            ok2.read()
+        finally:
+            httpd2.shutdown()
     finally:
         httpd.shutdown()
         backend.close()
