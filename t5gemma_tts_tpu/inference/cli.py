@@ -204,6 +204,9 @@ def run_inference(args: argparse.Namespace) -> str:
 
 
 def main(argv: Optional[list] = None) -> None:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from ..utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -140,6 +140,9 @@ def build_demo(model_dir: str, codec_dir: Optional[str] = None,
 
 
 def main(argv=None):
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_dir", required=True)
     ap.add_argument("--codec_dir", default=None)

@@ -236,6 +236,9 @@ def serve(backend: BatchingServer, host: str = "0.0.0.0", port: int = 8000,
 
 
 def main(argv=None):
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     """CLI: python -m t5gemma_tts_tpu.inference.http_server --model_dir ..."""
     import argparse
 

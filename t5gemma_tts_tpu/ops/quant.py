@@ -290,6 +290,21 @@ _W4_KEYS = ("qkv", "o", "gate_up", "down")   # + cross_attn "q"
 _W4_K_MAJOR = ("o", "down")
 
 
+def _w4_dims_supported(params) -> bool:
+    """Whether the decoder's dims fit the megakernel's lanes4 int4 path
+    (mirrors ops/megakernel.supports w4 dim checks, derived from leaf
+    shapes so callers need no ModuleDims)."""
+    try:
+        lay = params["decoder"]["layers"]
+        _, ho, d = lay["self_attn"]["o"].shape
+        _, f, _ = lay["mlp"]["down"].shape
+    except Exception:
+        return False
+    if jax.default_backend() != "tpu":
+        return f % N_TILE == 0 or 2 * f <= N_TILE
+    return ho % N_TILE == 0 and f % N_TILE == 0 and d % 128 == 0
+
+
 def quantize_params_for_decode(params, quantize_encoder: bool = False,
                                act_bits: int = 8,
                                streaming_tiled: bool = None,
@@ -308,6 +323,19 @@ def quantize_params_for_decode(params, quantize_encoder: bool = False,
     tradeoff — see the lanes4 section header."""
     if weight_bits not in (8, 4):
         raise ValueError(f"weight_bits must be 8 or 4, got {weight_bits}")
+
+    if weight_bits == 4 and not _w4_dims_supported(params):
+        # without the megakernel the int4 fallback path (q_matmul's XLA
+        # dispatch) MATERIALIZES the decoded int8 weights per step —
+        # strictly slower than int8. Quantize int8 instead of shipping a
+        # silent slowdown.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "weight_bits=4 requested but this backbone's dims don't fit "
+            "the megakernel's int4 path (need ho%%512==0, f%%512==0, "
+            "d%%128==0 on TPU); quantizing int8 instead")
+        weight_bits = 8
 
     def walk4(path, leaf):
         # int4 applies only to stacked decoder leaves the megakernel streams

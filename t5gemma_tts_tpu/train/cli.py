@@ -108,7 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[list] = None):
     from ..utils.compile_cache import enable_persistent_cache
+    from ..utils.platform import honor_jax_platforms_env
 
+    honor_jax_platforms_env()
     enable_persistent_cache()
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)

@@ -123,7 +123,7 @@ def test_preprocess_cli_e2e(tmp_path):
            "--blocklist-file", str(blf), "--seed", "7"]
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                       timeout=1200)
+                       timeout=2400)
     assert r.returncode == 0, r.stderr[-2000:]
 
     # full layout present
@@ -141,7 +141,7 @@ def test_preprocess_cli_e2e(tmp_path):
 
     # resume: re-run writes nothing new, exits 0
     r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                        timeout=1200)
+                        timeout=2400)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert len((out / "manifest_final" / "train.txt")
                .read_text().splitlines()) == 6
@@ -150,7 +150,7 @@ def test_preprocess_cli_e2e(tmp_path):
     import shutil
     shutil.rmtree(out / "neighbors")
     r3 = subprocess.run(cmd + ["--neighbors-only"], capture_output=True,
-                        text=True, env=env, timeout=1200)
+                        text=True, env=env, timeout=2400)
     assert r3.returncode == 0, r3.stderr[-2000:]
     nb2 = (out / "neighbors" / (utt0 + ".txt")).read_text().splitlines()
     assert nb2 == nb
