@@ -2,13 +2,16 @@
 
 The reference shells out to the ``whisper`` pip package
 (reference inference_commandline_hf.py:144-152, inference_gradio.py:92-96).
-That package is optional here; when it is absent the HF ``transformers``
-Whisper implementation (already a framework dependency) serves as the
-fallback, so ``--reference_text`` stays optional either way:
+That package is optional here; the preference order is:
 
   1. ``whisper`` package, model "large-v3-turbo"   (reference behavior)
-  2. transformers WhisperForConditionalGeneration  (torch CPU; same weights
-     family "openai/whisper-large-v3-turbo")
+  2. **in-repo JAX Whisper** (asr/): HF weights convert once
+     (asr/convert.py) and ALL inference — mel frontend, encoder, greedy
+     decode — runs as JAX; torch is only the weight loader and the HF
+     tokenizer does token<->text. Language auto-detected from the first
+     decoder step when not given.
+  3. transformers WhisperForConditionalGeneration (torch CPU) — kept as
+     the last-resort fallback and the parity oracle in tests.
 
 Audio loads through the framework's own wav reader/resampler
 (inference/audio_io.py) — no torchaudio/ffmpeg needed for wav input.
@@ -44,11 +47,72 @@ def hf_transcriber(processor, model) -> Transcriber:
     return transcribe
 
 
+def jax_transcriber(params, cfg, tokenizer,
+                    language: Optional[str] = None,
+                    max_new: int = 440) -> Transcriber:
+    """In-repo JAX Whisper transcriber.
+
+    ``params``/``cfg`` from asr/; ``tokenizer`` any object with
+    ``convert_tokens_to_ids`` + ``decode`` (the HF Whisper tokenizer).
+    When ``language`` is None, it is detected whisper-style: one decoder
+    step from <|startoftranscript|>, argmax restricted to language tokens.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..asr import mel as asr_mel
+    from ..asr import model as asr_model
+    from . import audio_io
+
+    sot = cfg.decoder_start_token_id
+
+    def tok_id(t):
+        i = tokenizer.convert_tokens_to_ids(t)
+        unk = getattr(tokenizer, "unk_token_id", None)
+        if i is None or (unk is not None and i == unk):
+            return None
+        return int(i)
+
+    task_id = tok_id("<|transcribe|>")
+    nots_id = tok_id("<|notimestamps|>")
+    lang_ids = [i for i in (
+        tok_id(f"<|{code}|>")
+        for code in ("en", "zh", "ja", "de", "es", "ru", "ko", "fr", "pt",
+                     "tr", "pl", "ca", "nl", "ar", "sv", "it", "id", "hi",
+                     "fi", "vi"))
+        if i is not None]
+
+    def transcribe(path: str) -> str:
+        wav = audio_io.load_for_encode(path, WHISPER_SR)
+        feats = asr_mel.log_mel(jnp.asarray(wav), cfg.num_mel_bins)
+        enc = asr_model.encode(params, cfg, feats)
+
+        lang_tok = tok_id(f"<|{language}|>") if language else None
+        if lang_tok is None and lang_ids:
+            # whisper-style detection: first-step logits masked to langs
+            logits = asr_model.decoder_logits(
+                params, cfg, jnp.asarray([sot], jnp.int32), enc)[0]
+            li = np.asarray(logits)[lang_ids]
+            lang_tok = lang_ids[int(np.argmax(li))]
+
+        forced = [sot, lang_tok, task_id, nots_id]
+        forced = [t for t in forced if t is not None]
+        f = jnp.asarray(forced, jnp.int32)
+        ids, n = asr_model.greedy_decode(
+            params, cfg, enc, f, jnp.int32(len(forced)),
+            min(max_new, cfg.max_target_positions - len(forced) - 1))
+        ids = np.asarray(ids)[: int(n)]
+        return tokenizer.decode(ids, skip_special_tokens=True).strip()
+
+    return transcribe
+
+
 def load_transcriber(
     model_name: str = "large-v3-turbo",
     hf_model_name: Optional[str] = None,
+    prefer_jax: bool = True,
 ) -> Transcriber:
-    """Best-available transcriber; raises RuntimeError when neither backend
+    """Best-available transcriber; raises RuntimeError when no backend
     can load (callers turn that into "pass --reference_text")."""
     try:
         import whisper  # optional, reference's backend
@@ -56,9 +120,9 @@ def load_transcriber(
         m = whisper.load_model(model_name)
         return lambda path: m.transcribe(path)["text"].strip()
     except ImportError:
-        log.info("whisper package not installed; using transformers Whisper")
+        log.info("whisper package not installed; using in-repo JAX Whisper")
     except Exception as exc:  # model download/load failure
-        log.warning("whisper.load_model failed (%s); trying transformers", exc)
+        log.warning("whisper.load_model failed (%s); trying JAX path", exc)
 
     try:
         from transformers import (
@@ -70,10 +134,37 @@ def load_transcriber(
         processor = WhisperProcessor.from_pretrained(name)
         model = WhisperForConditionalGeneration.from_pretrained(name)
         model.eval()
-        return hf_transcriber(processor, model)
     except Exception as exc:
         raise RuntimeError(
             "no transcription backend available (install `whisper` or allow "
             f"downloading {hf_model_name or 'openai/whisper-large-v3-turbo'}); "
             "pass the reference transcript explicitly"
         ) from exc
+
+    if prefer_jax:
+        try:
+            from ..asr.convert import whisper_state_dict_to_params
+            from ..asr.model import WhisperConfig
+
+            hc = model.config
+            cfg = WhisperConfig(
+                vocab_size=hc.vocab_size,
+                num_mel_bins=hc.num_mel_bins,
+                d_model=hc.d_model,
+                encoder_layers=hc.encoder_layers,
+                decoder_layers=hc.decoder_layers,
+                encoder_attention_heads=hc.encoder_attention_heads,
+                decoder_attention_heads=hc.decoder_attention_heads,
+                encoder_ffn_dim=hc.encoder_ffn_dim,
+                decoder_ffn_dim=hc.decoder_ffn_dim,
+                max_source_positions=hc.max_source_positions,
+                max_target_positions=hc.max_target_positions,
+                decoder_start_token_id=hc.decoder_start_token_id,
+                eos_token_id=hc.eos_token_id,
+            )
+            params = whisper_state_dict_to_params(model.state_dict(), cfg)
+            return jax_transcriber(params, cfg, processor.tokenizer)
+        except Exception:
+            log.exception("JAX Whisper conversion failed; torch fallback")
+
+    return hf_transcriber(processor, model)
