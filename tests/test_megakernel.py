@@ -293,3 +293,59 @@ def test_megakernel_w4_batch_one():
     h0, _ = _run(0, dec, dims, cache, emb, pos, plens, elens, step)
     h3, _ = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
     assert _rel(h3, h0) < 5e-2
+
+
+def test_megakernel_w4_with_int8_kv():
+    """The bench latency config combines lanes4 int4 WEIGHTS with int8 KV
+    pages — the two kernel features are independent (weight streams vs
+    slab attention) but must compose."""
+    from t5gemma_tts_tpu.ops.fused_attn import quantize_kv
+
+    cfg = tiny_voice_config()
+    dims = dataclasses.replace(cfg.backbone.decoder, sliding_window=4096)
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    params = t5gemma.fuse_for_decode(params)
+    params = quantize_params_for_decode(params, streaming_tiled=True,
+                                        weight_bits=4)
+    dec = params["decoder"]
+    b = 2
+    cache = t5gemma.init_paged_cache(dims, b, 5, 6, 7, store_dtype=jnp.int8)
+
+    def qfill(x, k):
+        vals = jax.random.normal(jax.random.PRNGKey(k), x.shape,
+                                 jnp.float32) * 0.5
+        return quantize_kv(vals)
+
+    pk, pks = qfill(cache.prompt_k, 1)
+    pv, pvs = qfill(cache.prompt_v, 2)
+    gk, gks = qfill(cache.gen_k, 3)
+    gv, gvs = qfill(cache.gen_v, 4)
+    xk, xks = qfill(cache.cross_k, 5)
+    xv, xvs = qfill(cache.cross_v, 6)
+
+    def fill(x, k):
+        return (jax.random.normal(jax.random.PRNGKey(k), x.shape,
+                                  jnp.float32) * 0.5).astype(x.dtype)
+
+    cache = cache._replace(
+        prompt_k=pk, prompt_v=pv, gen_k=gk, gen_v=gv,
+        cross_k=xk, cross_v=xv,
+        prompt_k_scale=pks, prompt_v_scale=pvs,
+        gen_k_scale=gks, gen_v_scale=gvs,
+        cross_k_scale=xks, cross_v_scale=xvs,
+        pending_k=fill(cache.pending_k, 7),
+        pending_v=fill(cache.pending_v, 8),
+    )
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(b, 1, dims.hidden_size)) * 0.3,
+                      jnp.bfloat16)
+    pos = jnp.asarray(rng.uniform(0, 100, (b, 1)), jnp.float32)
+    plens = jnp.asarray([3, 5], jnp.int32)
+    elens = jnp.asarray([7, 2], jnp.int32)
+    step = jnp.int32(5)
+
+    h0, c0 = _run(0, dec, dims, cache, emb, pos, plens, elens, step)
+    h3, c3 = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+    assert np.isfinite(np.asarray(h3, np.float32)).all()
+    assert _rel(h3, h0) < 5e-2
+    assert _rel(c3.pending_k, c0.pending_k) < 2e-2
