@@ -111,8 +111,10 @@ def main():
         from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
 
         wb = 4 if args.w4 else 8
+        hd = cfg.backbone.decoder.head_dim
         params = jax.jit(
-            lambda p: quantize_params_for_decode(p, weight_bits=wb),
+            lambda p: quantize_params_for_decode(
+                p, weight_bits=wb, head_dim=hd),
             donate_argnums=0)(params)
 
     rng = np.random.default_rng(0)
@@ -322,7 +324,9 @@ def main():
 
                 p4 = jax.jit(fuse_for_decode, donate_argnums=0)(p4)
             p4 = jax.jit(
-                lambda p: quantize_params_for_decode(p, weight_bits=4),
+                lambda p: quantize_params_for_decode(
+                    p, weight_bits=4,
+                    head_dim=cfg.backbone.decoder.head_dim),
                 donate_argnums=0)(p4)
             out = run(p4, x1, xl1, p1, pl1, tg1, key)
             force(out.tokens)  # compile
@@ -361,6 +365,8 @@ def main():
                      "--kv", args.kv, "--skip-vocoder"]
         if not args.int8:
             probe_cmd.append("--no-int8")
+        if args.w4:
+            probe_cmd.append("--w4")
         if args.no_fuse:
             probe_cmd.append("--no-fuse")
         if not args.approx_topk:

@@ -16,12 +16,12 @@ exec python -m t5gemma_tts_tpu.inference.http_server \
   --model_dir "$MODEL_DIR" \
   ${CODEC_DIR:+--codec_dir "$CODEC_DIR"} \
   --port "$PORT" \
-  --quantize int8 \
+  --quantize int8 --kv_cache paged_i8 \
   --max_batch 32 --max_wait_ms 50 \
   ${T5G_AUTH_TOKEN:+--auth_token "$T5G_AUTH_TOKEN"}
 
 # Variants:
-#   --continuous --slots 16      vLLM-style resident-batch serving
+#   --continuous --slots 16 --kv_cache auto   vLLM-style resident batching
 #   --quantize int4              batch-1 latency mode (speed/quality tradeoff)
 # Endpoints: POST /synthesize, POST /synthesize_streaming (chunked live
 # WAV), GET /healthz (unauthenticated), GET /metrics (Prometheus).

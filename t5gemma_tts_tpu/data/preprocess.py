@@ -414,7 +414,10 @@ def build_parser() -> "argparse.ArgumentParser":
     filt.add_argument("--max-duration", type=float, default=MAX_DURATION_SEC)
 
     nb = p.add_argument_group("neighbors")
-    nb.add_argument("--max-neighbors-per-utt", type=int, default=None)
+    nb.add_argument("--max-neighbors-per-utt", type=int, default=64,
+                    help="cap each utterance's neighbor list (the library "
+                         "default; <=0 means unbounded — quadratic output "
+                         "for large single-speaker corpora)")
     nb.add_argument("--neighbors-only", action="store_true",
                     help="Skip encoding; rebuild neighbors/ from the "
                          "existing manifests + source metadata.")
@@ -462,9 +465,13 @@ def main(argv=None) -> int:
             blocklist += [ln.strip() for ln in f if ln.strip()]
     langs = tuple(s.strip().lower()
                   for s in args.allowed_languages.split(",") if s.strip())
+    max_nb = (args.max_neighbors_per_utt
+              if args.max_neighbors_per_utt and args.max_neighbors_per_utt > 0
+              else None)
     cfg = PreprocessConfig(
         out_dir=args.output_dir,
-        split=args.split if args.split != "valid" else "valid",
+        split=args.split,
+        make_neighbors=not args.no_neighbors,
         valid_fraction=args.valid_ratio,
         languages=langs,
         blocklist=tuple(blocklist),
@@ -475,7 +482,7 @@ def main(argv=None) -> int:
         encode_batch=args.encode_batch,
         encodec_sr=int(args.encodec_sr),
         overwrite=args.overwrite,
-        max_neighbors_per_utt=args.max_neighbors_per_utt,
+        max_neighbors_per_utt=max_nb,
         seed=args.seed,
         min_duration_sec=args.min_duration,
         max_duration_sec=args.max_duration,
@@ -527,8 +534,6 @@ def main(argv=None) -> int:
             streaming=args.streaming, text_column=args.text_column,
             speaker_column=args.speaker_column,
             audio_column=args.audio_column, id_column=args.id_column)
-    if args.no_neighbors:
-        cfg.make_neighbors = False
     records = prepare(it, tok, cfg)
     log.info("wrote %d utterances to %s", len(records), cfg.out_dir)
     return 0

@@ -77,6 +77,11 @@ class _Handler(BaseHTTPRequestHandler):
     auth_token: Optional[str] = None
     started_at: float = 0.0
     audio_seconds: "list" = None  # [total] mutable cell shared per server
+    metrics_lock: "threading.Lock" = None  # guards the += (handler threads)
+
+    def _add_audio_seconds(self, secs: float) -> None:
+        with self.metrics_lock:
+            self.audio_seconds[0] += secs
 
     def log_message(self, fmt, *args):  # route to logging, not stderr
         log.debug("http: " + fmt, *args)
@@ -137,7 +142,11 @@ class _Handler(BaseHTTPRequestHandler):
         # drain the request body FIRST: replying (404/401) without
         # consuming it desynchronizes the HTTP/1.1 keep-alive stream —
         # the unread JSON body parses as the next request line (400s)
-        n = int(self.headers.get("Content-Length", 0))
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self.close_connection = True  # length unknown: cannot resync
+            return self._json(400, {"error": "bad Content-Length"})
         raw = self.rfile.read(n) if n else b""
         if self.path not in ("/synthesize", "/synthesize_streaming"):
             return self._json(404, {"error": "not found"})
@@ -172,7 +181,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "frames": np.asarray(res.gen_frames).tolist(),
                 "rtf": res.rtf,
             })
-        self.audio_seconds[0] += len(np.asarray(wav)) / self.sample_rate
+        self._add_audio_seconds(len(np.asarray(wav)) / self.sample_rate)
         body = wav_bytes(wav, self.sample_rate)
         self.send_response(200)
         self.send_header("Content-Type", "audio/wav")
@@ -203,7 +212,7 @@ class _Handler(BaseHTTPRequestHandler):
             for piece in gen:
                 body = pcm16(piece)
                 if body:
-                    self.audio_seconds[0] += len(body) / 2 / self.sample_rate
+                    self._add_audio_seconds(len(body) / 2 / self.sample_rate)
                     chunk(body)
             self.wfile.write(b"0\r\n\r\n")  # chunked terminator
         except Exception:
@@ -223,7 +232,7 @@ def serve(backend: BatchingServer, host: str = "0.0.0.0", port: int = 8000,
     handler = type("Handler", (_Handler,), {
         "backend": backend, "sample_rate": sample_rate,
         "auth_token": auth_token, "started_at": time.time(),
-        "audio_seconds": [0.0],
+        "audio_seconds": [0.0], "metrics_lock": threading.Lock(),
     })
     httpd = ThreadingHTTPServer((host, port), handler)
     if block:
@@ -262,6 +271,11 @@ def main(argv=None):
                     choices=["none", "int8", "int4"],
                     help="decode-weight quantization (int8 = the serving "
                          "config bench.py records; int4 = batch-1 latency)")
+    ap.add_argument("--kv_cache", default="auto",
+                    choices=["auto", "dense", "paged", "paged_f8",
+                             "paged_i8"],
+                    help="decode KV-cache strategy; the bench serving "
+                         "config is paged_i8 (see DecodeConfig.kv_cache)")
     ap.add_argument("--auth_token", default=None,
                     help="require 'Authorization: Bearer <token>' on "
                          "/synthesize* and /metrics (default: "
@@ -273,12 +287,15 @@ def main(argv=None):
 
     pipe = _load_resources(args.model_dir, args.codec_dir,
                            args.random_codec, args.quantize)
+    from ..config import DecodeConfig
+
+    dcfg = DecodeConfig(kv_cache=args.kv_cache)
     if args.continuous:
         from .server import ContinuousServer
 
-        backend = ContinuousServer(pipe, slots=args.slots)
+        backend = ContinuousServer(pipe, dcfg, slots=args.slots)
     else:
-        backend = BatchingServer(pipe, max_batch=args.max_batch,
+        backend = BatchingServer(pipe, dcfg, max_batch=args.max_batch,
                                  max_wait_ms=args.max_wait_ms,
                                  warmup=not args.no_warmup)
     sr = (pipe.audio_tokenizer.sample_rate

@@ -106,8 +106,10 @@ class TTSPipeline:
             from ..ops.quant import quantize_params_for_decode
 
             wb = 4 if int4 else 8
+            hd = cfg.backbone.decoder.head_dim
             params = _jax.jit(
-                lambda p: quantize_params_for_decode(p, weight_bits=wb),
+                lambda p: quantize_params_for_decode(
+                    p, weight_bits=wb, head_dim=hd),
                 donate_argnums=0)(params)
         self.params = params
         self.cfg = cfg

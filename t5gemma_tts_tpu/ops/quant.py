@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import NamedTuple, Tuple, Union
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -290,10 +290,12 @@ _W4_KEYS = ("qkv", "o", "gate_up", "down")   # + cross_attn "q"
 _W4_K_MAJOR = ("o", "down")
 
 
-def _w4_dims_supported(params) -> bool:
+def _w4_dims_supported(params, head_dim: Optional[int] = None) -> bool:
     """Whether the decoder's dims fit the megakernel's lanes4 int4 path
     (mirrors ops/megakernel.supports w4 dim checks, derived from leaf
-    shapes so callers need no ModuleDims)."""
+    shapes so callers need no ModuleDims; pass ``head_dim`` when known —
+    it cannot be inferred from weight shapes and supports() also requires
+    head_dim % 128 == 0 on TPU)."""
     try:
         lay = params["decoder"]["layers"]
         _, ho, d = lay["self_attn"]["o"].shape
@@ -302,13 +304,16 @@ def _w4_dims_supported(params) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return f % N_TILE == 0 or 2 * f <= N_TILE
+    if head_dim is not None and head_dim % 128 != 0:
+        return False
     return ho % N_TILE == 0 and f % N_TILE == 0 and d % 128 == 0
 
 
 def quantize_params_for_decode(params, quantize_encoder: bool = False,
                                act_bits: int = 8,
                                streaming_tiled: bool = None,
-                               weight_bits: int = 8):
+                               weight_bits: int = 8,
+                               head_dim: Optional[int] = None):
     """Quantize the weight-bandwidth-heavy matmuls of the voice model for
     inference. By default the decoder stack + prediction head (read every
     decode step) go int8; the encoder (read once per utterance) stays bf16
@@ -324,7 +329,7 @@ def quantize_params_for_decode(params, quantize_encoder: bool = False,
     if weight_bits not in (8, 4):
         raise ValueError(f"weight_bits must be 8 or 4, got {weight_bits}")
 
-    if weight_bits == 4 and not _w4_dims_supported(params):
+    if weight_bits == 4 and not _w4_dims_supported(params, head_dim):
         # without the megakernel the int4 fallback path (q_matmul's XLA
         # dispatch) MATERIALIZES the decoded int8 weights per step —
         # strictly slower than int8. Quantize int8 instead of shipping a
