@@ -313,36 +313,32 @@ def main():
 
         # batch-1 INT4 latency mode (lanes4 megakernel weights): int8's
         # 2.27 GB/step weight DMA floors batch-1 at ~2.8 ms/step; int4
-        # halves it. Quality tradeoff documented in ops/quant.py.
+        # halves it. Quality tradeoff documented in ops/quant.py. Runs in
+        # a SUBPROCESS with a hard timeout: the int4 kernel variant is the
+        # newest Mosaic surface and this terminal's failure mode for
+        # unsupported kernel constructs is a HANG, which must not sink the
+        # headline record (it shares the process otherwise).
         if not args.w4 and args.int8:
-            from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
+            import subprocess
+            import sys
 
-            p4 = jax.jit(lambda k: voice.init_params(k, cfg))(
-                jax.random.PRNGKey(0))
-            if not args.no_fuse:
-                from t5gemma_tts_tpu.models.t5gemma import fuse_for_decode
-
-                p4 = jax.jit(fuse_for_decode, donate_argnums=0)(p4)
-            p4 = jax.jit(
-                lambda p: quantize_params_for_decode(
-                    p, weight_bits=4,
-                    head_dim=cfg.backbone.decoder.head_dim),
-                donate_argnums=0)(p4)
-            out = run(p4, x1, xl1, p1, pl1, tg1, key)
-            force(out.tokens)  # compile
-            lats4 = []
-            for i in range(3):
-                t0 = time.time()
-                out = run(p4, x1, xl1, p1, pl1, tg1,
-                          jax.random.fold_in(key, 90 + i))
-                if not args.skip_vocoder:
-                    force(voc(cparams, out.tokens % ccfg.fsq.codebook_size))
-                else:
-                    force(out.tokens)
-                lats4.append(time.time() - t0)
-            del p4
-            record["p50_latency_sec_5s_b1_int4"] = round(sorted(lats4)[1], 3)
-            record["rtf_b1_int4"] = round(args.seconds / sorted(lats4)[1], 2)
+            cmd = [sys.executable, __file__, "--mode", "latency", "--w4",
+                   "--seconds", str(args.seconds),
+                   "--preset", args.preset,
+                   "--text-len", str(args.text_len),
+                   "--kv", args.kv, "--skip-warm-probe"]
+            if args.skip_vocoder:
+                cmd.append("--skip-vocoder")
+            try:
+                res = subprocess.run(cmd, capture_output=True, text=True,
+                                     timeout=2700)
+                probe = json.loads(res.stdout.strip().splitlines()[-1])
+                record["p50_latency_sec_5s_b1_int4"] = probe["value"]
+                record["rtf_b1_int4"] = round(
+                    args.seconds / probe["value"], 2)
+            except Exception as exc:  # never sink the headline
+                record["rtf_b1_int4"] = None
+                record["int4_probe_error"] = str(exc)[:200]
 
     if not args.skip_warm_probe and args.preset != "test":
         # warm-start number, measured honestly: a SECOND process (fresh
