@@ -188,6 +188,15 @@ def _kernel(
     qkvs_row = qkvs_ref[...]
     cqs_row = cqs_ref[...]
     gus_row = gus_ref[...]
+    os_row = cos_row = dns_row = None
+    if not w4:
+        # w8: pre-read the kstream/MLP scale rows as VALUES, keeping the
+        # kernel code byte-identical to the TPU-validated int8 variant
+        # (the w4 branches below read half-slices from the REFS instead —
+        # a half VALUE slice would carry a rejected lane offset)
+        os_row = os_ref[...]
+        cos_row = cos_s_ref[...]
+        dns_row = dns_ref[...]
 
     def _qsum(x8):
         """8*sum(x8) correction operand for the w4 lo-nibble recovery;
@@ -267,7 +276,7 @@ def _kernel(
         n_out = n_tiles * WTILE
         out_vmem[:, :n_out] = out_vmem[:, :n_out] * sx * s_row
 
-    def kstream(w_any, s_ref, x8, sx, xsum, k_size, tiled):
+    def kstream(w_any, s_val, s_ref, x8, sx, xsum, k_size, tiled):
         """acc_buf[:] = (x8 @ w[li]) * sx * scale, streaming K-tiles; int32
         accumulation is exact (one act scale per row). ``tiled``:
         "tiled_k" [L, KT, T, DP] full-trailing DMAs (serving dims); the kn
@@ -384,7 +393,7 @@ def _kernel(
                     xt, kwbuf[slot, g, pl.ds(0, ktile), :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-        acc_buf[...] = acc32.astype(jnp.float32) * sx * s_ref[...]
+        acc_buf[...] = acc32.astype(jnp.float32) * sx * s_val
 
     # ---- flash attention over dense cache slabs ------------------------
     def slab_attention(ak_src, av_src, bk_src, bv_src, pp_a, pp_b,
@@ -610,7 +619,7 @@ def _kernel(
 
         heads_to_rows(ah_buf, heads, attn_buf)
         a8, sa = _quant_rows(attn_buf[...])
-        kstream(ow_ref, os_ref, a8, sa, _qsum(a8), ho, meta.o_tiled)
+        kstream(ow_ref, os_row, os_ref, a8, sa, _qsum(a8), ho, meta.o_tiled)
         return h32 + _rms(acc_buf[:, pl.ds(0, d)], n1, eps)
 
     # ======================= phase 2: cross attention ====================
@@ -641,7 +650,8 @@ def _kernel(
 
         heads_to_rows(ah_buf, heads, attn_buf)
         a8, sa = _quant_rows(attn_buf[...])
-        kstream(cow_ref, cos_s_ref, a8, sa, _qsum(a8), ho, meta.o_tiled)
+        kstream(cow_ref, cos_row, cos_s_ref, a8, sa, _qsum(a8), ho,
+                meta.o_tiled)
         return h32 + _rms(acc_buf[:, pl.ds(0, d)], n3, eps)
 
     # ======================= phase 3: GeGLU MLP ==========================
@@ -738,8 +748,9 @@ def _kernel(
                 (dp_ - dul).astype(jnp.float32) * 0.0625)
 
     acc = jnp.zeros((x8.shape[0], meta.dp), jnp.float32)
-    acc_lo = jnp.zeros((x8.shape[0], dph), jnp.float32)    # w4 halves
-    acc_hi = jnp.zeros((x8.shape[0], dph), jnp.float32)
+    if w4:
+        acc_lo = jnp.zeros((x8.shape[0], dph), jnp.float32)
+        acc_hi = jnp.zeros((x8.shape[0], dph), jnp.float32)
     for j in range(n_ff):                  # python-unrolled (static tiles)
         cgu, ggu = divmod(j, cg)
         cdn, gdn = divmod(j, cd)
@@ -809,7 +820,7 @@ def _kernel(
         acc_buf[:, pl.ds(dph, dph)] = acc_hi * dns_ref[:, pl.ds(dph, dph)]
         h32 = h32 + _rms(acc_buf[:, pl.ds(0, d)], n5, eps)
     else:
-        mlp_out = acc * dns_ref[...]
+        mlp_out = acc * dns_row
         h32 = h32 + _rms(mlp_out[:, :d], n5, eps)
     hout_ref[...] = h32.astype(hout_ref.dtype)
 
