@@ -101,34 +101,26 @@ def _stream_kernel(x_ref, w_any, out_ref, wbuf, acc, sem, *, mode, nt):
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
             a = a + d.astype(jnp.float32)
-        elif mode == "int4_shr":
-            # plan A: in-kernel unpack (shrsi + muli + subi), per-group dots
-            pk = wbuf[slot, 0]                       # [K//2, T] packed
-            high = jnp.right_shift(pk, 4)
-            low = pk - high * jnp.int8(16)
-            w8 = jnp.concatenate([low, high], axis=0)    # [K, T]
-            for g in range(K // GROUP):
-                d = jax.lax.dot_general(
-                    x8[:, g * GROUP:(g + 1) * GROUP],
-                    w8[g * GROUP:(g + 1) * GROUP],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                a = a + d.astype(jnp.float32) * (1.0 + 1e-6 * g)
-        elif mode == "int4_flat":
-            # plan A without per-group dots (per-channel scales): one dot
-            pk = wbuf[slot, 0]
-            high = jnp.right_shift(pk, 4)
-            low = pk - high * jnp.int8(16)
-            w8 = jnp.concatenate([low, high], axis=0)
-            d = jax.lax.dot_general(x8, w8, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-            a = a + d.astype(jnp.float32)
+        elif mode == "lanes4":
+            # PRODUCTION scheme (ops/megakernel.py nstream w4): packed
+            # [K, T/2] lane-halves tiles, 1 AND + 2 dots, no unpack
+            pk = wbuf[slot, 0]                       # [K, T/2] packed
+            ul = jnp.bitwise_and(pk, jnp.int8(15))
+            dp_ = jax.lax.dot_general(x8, pk, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            dul = jax.lax.dot_general(x8, ul, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            xsum = jnp.sum(x8.astype(jnp.int32).astype(jnp.float32),
+                           axis=-1, keepdims=True)
+            lo = dul.astype(jnp.float32) - 8.0 * xsum
+            hi = (dp_ - dul).astype(jnp.float32) * 0.0625
+            a = a + jnp.concatenate([lo, hi], axis=1)
     acc[...] = a
     out_ref[...] = acc[...]
 
 
 def build(mode, nt):
-    kk = K // 2 if mode.startswith("int4") else K
+    tt = T // 2 if mode == "lanes4" else T
     kern = functools.partial(_stream_kernel, mode=mode, nt=nt)
     return pl.pallas_call(
         kern,
@@ -139,7 +131,7 @@ def build(mode, nt):
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((BP, T), lambda i: (0, 0)),
             scratch_shapes=(
-                pltpu.VMEM((2, 1, kk, T), jnp.int8),
+                pltpu.VMEM((2, 1, K, tt), jnp.int8),
                 pltpu.VMEM((BP, T), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ),
@@ -148,14 +140,35 @@ def build(mode, nt):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
-    ), kk
+    ), tt
+
+
+def lanes4_value_check():
+    """One-tile lanes4 kernel vs the numpy decode — validates the
+    production nibble-recovery math ON DEVICE (cheapest possible compile,
+    run this before the full megakernel after any toolchain change)."""
+    f, tt = build("lanes4", 1)
+    rng = np.random.default_rng(7)
+    q_lo = rng.integers(-7, 8, (K, tt)).astype(np.int8)
+    q_hi = rng.integers(-7, 8, (K, tt)).astype(np.int8)
+    packed = (((q_hi & 15) << 4) | (q_lo + 8)).astype(np.int8)
+    x = rng.integers(-127, 128, (BP, K)).astype(np.int8)
+    got = np.asarray(jax.jit(lambda xx, ww: f(xx, ww))(
+        jnp.asarray(x), jnp.asarray(packed)[None]))
+    ref_lo = x.astype(np.int64) @ q_lo.astype(np.int64)
+    ref_hi = x.astype(np.int64) @ q_hi.astype(np.int64)
+    ref = np.concatenate([ref_lo, ref_hi], axis=1).astype(np.float64)
+    ok = np.allclose(got, ref, rtol=1e-6)
+    print(f"lanes4 in-kernel math vs numpy: {'EXACT' if ok else 'MISMATCH'}"
+          f" (max abs err {np.abs(got - ref).max():.3g})")
+    return ok
 
 
 def marginal(mode, n_lo=24, n_hi=96, reps=32):
-    f_lo, kk = build(mode, n_lo)
+    f_lo, tt = build(mode, n_lo)
     f_hi, _ = build(mode, n_hi)
     w = jnp.asarray(
-        np.random.default_rng(0).integers(-7, 8, (n_hi, kk, T)), jnp.int8)
+        np.random.default_rng(0).integers(-7, 8, (n_hi, K, tt)), jnp.int8)
     x = jnp.asarray(
         np.random.default_rng(1).integers(-127, 128, (BP, K)), jnp.int8)
 
@@ -171,7 +184,7 @@ def marginal(mode, n_lo=24, n_hi=96, reps=32):
     t_lo = timed(f_lo, w[:n_lo])
     t_hi = timed(f_hi, w)
     per_tile = (t_hi - t_lo) / (n_hi - n_lo)
-    gbs = (kk * T) / per_tile / 1e9
+    gbs = (K * tt) / per_tile / 1e9
     eff_gbs = (K * T) / per_tile / 1e9   # int8-equivalent bytes served
     print(f"{mode:10s}: {per_tile * 1e6:7.2f} us/tile "
           f"({gbs:6.1f} GB/s wire, {eff_gbs:6.1f} GB/s int8-equivalent)")
@@ -182,11 +195,11 @@ if __name__ == "__main__":
     print(f"device: {jax.devices()[0]}")
     print("-- legality (int8 vector ops in Mosaic) --")
     for op in ("shrsi", "muli", "subi", "andi"):
-        print(f"  {op:6s}: {_legality(op)}")
-    print("-- marginal per-tile timing --")
+        print(f"  {op:6s}: {_legality(op)}", flush=True)
+    print("-- lanes4 value check (production scheme) --", flush=True)
+    lanes4_value_check()
+    print("-- marginal per-tile timing --", flush=True)
     t8 = marginal("int8")
-    t4g = marginal("int4_shr")
-    t4f = marginal("int4_flat")
-    print(f"int4(grouped) vs int8: {t4g / t8:.2f}x time at 0.5x bytes "
-          f"(win if < 1.0)")
-    print(f"int4(flat)    vs int8: {t4f / t8:.2f}x")
+    t4 = marginal("lanes4")
+    print(f"lanes4 vs int8: {t4 / t8:.2f}x time at 0.5x bytes "
+          f"(DMA-bound win if < ~0.75)")
