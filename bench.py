@@ -72,6 +72,35 @@ def main():
                     help="skip the second-process compile_sec_warm probe")
     args = ap.parse_args()
 
+    # fail FAST if the accelerator tunnel is dead: backend init on this
+    # terminal HANGS indefinitely when the tunnel is wedged (observed
+    # multi-hour outage after concurrent-process collisions), which would
+    # turn this bench into a silent driver timeout instead of a record.
+    # A subprocess probes device init under a hard timeout first.
+    import os
+    import subprocess
+    import sys
+
+    if (os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
+            and not args.warm_probe):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=240)
+            backend_ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            backend_ok = False
+        if not backend_ok:
+            print(json.dumps({
+                "metric": "decode_rtf_audio_sec_per_wall_sec",
+                "value": 0.0,
+                "unit": "x_realtime",
+                "vs_baseline": 0.0,
+                "error": "accelerator backend unreachable (device init "
+                         "probe failed/timed out; tunnel down?)",
+            }))
+            return
+
     import jax
     import jax.numpy as jnp
 
