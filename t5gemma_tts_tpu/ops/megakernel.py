@@ -199,13 +199,19 @@ def _kernel(
         dns_row = dns_ref[...]
 
     def _qsum(x8):
-        """8*sum(x8) correction operand for the w4 lo-nibble recovery;
-        f32 is exact here (|sum| <= 127*K < 2^24) and f32 lane reductions
-        are the proven-safe kind on this terminal."""
+        """sum(x8) per row, as the correction operand for the w4 lo-nibble
+        recovery (x.q_lo = x8@(p&15) - 8*sum(x8)). Computed as an int8 DOT
+        against a ones matrix: int8 MXU dots are the one PROVEN int8
+        primitive on this terminal's libtpu, while elementwise int8
+        widening (astype int32) is untested and the elementwise int8 op
+        surface is known-hostile (shifts/mul/sub all fail to legalize).
+        f32 is exact here (|sum| <= 127*K < 2^24)."""
         if not w4:
             return None
-        return jnp.sum(x8.astype(jnp.int32).astype(jnp.float32),
-                       axis=-1, keepdims=True)
+        ones = jnp.ones((x8.shape[1], 128), jnp.int8)
+        s = jax.lax.dot_general(x8, ones, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return s[:, :1].astype(jnp.float32)      # offset-0 value slice
 
     # ---- streamed matmuls ----------------------------------------------
     # Weight-tile DMAs move FULL trailing dims of tile-major layouts

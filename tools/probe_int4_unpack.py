@@ -110,8 +110,10 @@ def _stream_kernel(x_ref, w_any, out_ref, wbuf, acc, sem, *, mode, nt):
                                       preferred_element_type=jnp.int32)
             dul = jax.lax.dot_general(x8, ul, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.int32)
-            xsum = jnp.sum(x8.astype(jnp.int32).astype(jnp.float32),
-                           axis=-1, keepdims=True)
+            ones = jnp.ones((x8.shape[1], 128), jnp.int8)
+            xsum = jax.lax.dot_general(
+                x8, ones, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)[:, :1].astype(jnp.float32)
             lo = dul.astype(jnp.float32) - 8.0 * xsum
             hi = (dp_ - dul).astype(jnp.float32) * 0.0625
             a = a + jnp.concatenate([lo, hi], axis=1)
