@@ -169,6 +169,12 @@ def _kernel(
     kvh = hkv * hd
     li = li_s[0]
     bp = h_ref.shape[0]
+    # w4 packed tiles carry HALF the bytes, which drops the per-chunk wire
+    # time below the ~2.4 us scalar-core DMA start cost and turns the
+    # stream issue-bound (measured at batch 1: 308 GB/s wire vs int8's
+    # 598 — int4 was barely faster despite half the bytes). Doubling the
+    # tiles-per-DMA restores bytes-per-chunk parity with the int8 stream.
+    chunk = 2 * CHUNK if w4 else CHUNK
 
     def capped(x):
         if soft_cap is None:
@@ -235,14 +241,14 @@ def _kernel(
         with ul = p & 15; both land in their natural channel span, so the
         deferred full-row scale epilogue below is unchanged."""
         base = li * n_tiles
-        n_chunks = -(-n_tiles // CHUNK)
+        n_chunks = -(-n_tiles // chunk)
 
         def gsize(c):
-            return min(CHUNK, n_tiles - CHUNK * c)
+            return min(chunk, n_tiles - chunk * c)
 
         def start(c, slot):
             pltpu.make_async_copy(
-                w_any.at[pl.ds(base + CHUNK * c, gsize(c))],
+                w_any.at[pl.ds(base + chunk * c, gsize(c))],
                 wbuf.at[slot, pl.ds(0, gsize(c))], wsem.at[slot]).start()
 
         start(0, 0)
@@ -251,10 +257,10 @@ def _kernel(
             if c + 1 < n_chunks:
                 start(c + 1, (c + 1) % 2)
             pltpu.make_async_copy(
-                w_any.at[pl.ds(base + CHUNK * c, gsize(c))],
+                w_any.at[pl.ds(base + chunk * c, gsize(c))],
                 wbuf.at[slot, pl.ds(0, gsize(c))], wsem.at[slot]).wait()
             for g in range(gsize(c)):
-                j = CHUNK * c + g
+                j = chunk * c + g
                 if w4:
                     half = WTILE // 2
                     pg = wbuf[slot, g]                      # [K, T/2]
@@ -298,7 +304,7 @@ def _kernel(
             tk = WTILE if k_size % WTILE == 0 else k_size
             n_tiles = k_size // tk
             base = li * n_tiles      # l4k is flattened [L*KT, TK, DP/2]
-            ck = CHUNK if tk == WTILE else 1
+            ck = chunk if tk == WTILE else 1
             n_chunks = -(-n_tiles // ck)
             x8_buf[:, :k_size] = x8
             dph = meta.dp // 2
@@ -351,7 +357,7 @@ def _kernel(
         base = li * n_tiles          # tiled_k is flattened [L*KT, T, DP]
         # K-tiles stream in CHUNKs too (same start-cost amortization as
         # nstream); the kn fallback stays per-tile (interpret-only dims)
-        ck = CHUNK if tiled else 1
+        ck = chunk if tiled else 1
         n_chunks = -(-n_tiles // ck)
         # stage the quantized activations in VMEM so per-tile operands are
         # REF reads (clean layout); lane-offset VALUE slices feeding the
@@ -687,8 +693,8 @@ def _kernel(
     n_gu = 2 * f_tiles if aligned else 1
     gu_base = li * n_gu
     dn_base = li * n_ff              # tiled_k flattened [L*KT, T, DP]
-    cg = CHUNK if aligned else 1          # gate/up tiles per DMA
-    cd = CHUNK if meta.dn_tiled else 1    # down K-tiles per DMA
+    cg = chunk if aligned else 1          # gate/up tiles per DMA
+    cd = chunk if meta.dn_tiled else 1    # down K-tiles per DMA
     ngu_ch = -(-n_ff // cg)
     ndn_ch = -(-n_ff // cd)
 
@@ -994,12 +1000,14 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
             full(bp, hkv * hd), full(bp, hkv * hd),
         ],
         scratch_shapes=(
-            # w4 halves the streamed-tile buffers: n-tiles are [D, T/2]
-            # packed bytes, k-tiles [TK, DP/2]
-            pltpu.VMEM((2, CHUNK, d, WTILE // 2 if w4 else WTILE), jnp.int8),
-            pltpu.VMEM((2, CHUNK, d, WTILE // 2 if w4 else WTILE), jnp.int8),
+            # w4 halves the per-tile bytes but DOUBLES tiles-per-DMA (the
+            # kernel's `chunk`), so buffer bytes match the int8 variant
+            pltpu.VMEM((2, 2 * CHUNK if w4 else CHUNK, d,
+                        WTILE // 2 if w4 else WTILE), jnp.int8),
+            pltpu.VMEM((2, 2 * CHUNK if w4 else CHUNK, d,
+                        WTILE // 2 if w4 else WTILE), jnp.int8),
             pltpu.VMEM(
-                (2, CHUNK,
+                (2, 2 * CHUNK if w4 else CHUNK,
                  max(WTILE if ho % WTILE == 0 else ho,
                      WTILE if f % WTILE == 0 else f) if w4 else WTILE,
                  dp // 2 if w4 else dp),
