@@ -32,6 +32,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from t5gemma_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from t5gemma_tts_tpu.config import (

@@ -30,6 +30,10 @@ def bench(fn, x, *rest, iters=100):
     """
     import jax
 
+    from t5gemma_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     def make(n_it):
         @jax.jit
         def loop(x, *rest):

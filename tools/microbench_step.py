@@ -22,6 +22,10 @@ import numpy as np
 def run_timed(loop, *args):
     import jax
 
+    from t5gemma_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     out = loop(*args)
     jax.block_until_ready(out)
     np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:2]

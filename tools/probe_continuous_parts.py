@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from t5gemma_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from t5gemma_tts_tpu.config import (
         DecodeConfig, VoiceConfig, backbone_preset,
     )
@@ -72,70 +76,70 @@ def main():
     compute_dtype = jnp.dtype(cfg.dtype)
     emb0 = voice.embed_audio(params, state.prev_token[:, None] % 100).astype(
         compute_dtype)
-    est_total = state.target_totals
 
     def timed(fn, *a):
-        out = fn(*a)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        # block on the WHOLE output tree: on the tunneled axon backend a
+        # single pass-through leaf can report ready before the program runs
+        jax.block_until_ready(fn(*a))
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(*a)
-            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            jax.block_until_ready(fn(*a))
             best = min(best, time.perf_counter() - t0)
         return best
 
     def marginal(make, *a, iters=args.iters):
         t1 = timed(make(iters), *a)
         t4 = timed(make(4 * iters), *a)
+        print(f"  [marginal] t1={t1*1e3:.2f} ms  t4={t4*1e3:.2f} ms")
         return max(t4 - t1, 1e-9) / (3 * iters)
 
     # ---- decode step: rowclock vs scalar clock -------------------------
+    # params/state ship as jit ARGUMENTS (closure capture bakes the 2.3 GB
+    # param tree into the lowering as constants -> glacial compiles)
     def make_decode(rowclock):
-        def step_once(cache, i):
-            pos = rope_ops.decode_step_position(
-                state.current_length, est_total, cfg.progress_scale)[:, None]
-            kw = {}
-            if rowclock:
-                kw = dict(gen_lengths=state.steps,
-                          flush_positions=jnp.maximum(state.steps - 1, 0))
-            hidden, cache = t5gemma.paged_decode_step(
-                params["decoder"], dims, inputs_embeds=emb0,
-                position_ids=pos, pm_decoder_positions=pos,
-                cache=cache, step=jnp.int32(8) + i,
-                prompt_lengths=state.prompt_lens + 1,
-                enc_lengths=state.x_lens, **kw)
-            return cache, hidden
-
         def make(iters):
             @jax.jit
-            def loop(cache):
+            def loop(params, st, emb0, cache):
+                pos = rope_ops.decode_step_position(
+                    st.current_length, st.target_totals,
+                    cfg.progress_scale)[:, None]
+                kw = {}
+                if rowclock:
+                    kw = dict(gen_lengths=st.steps,
+                              flush_positions=jnp.maximum(st.steps - 1, 0))
+
                 def body(i, c):
-                    c, _ = step_once(c, i)
+                    _, c = t5gemma.paged_decode_step(
+                        params["decoder"], dims, inputs_embeds=emb0,
+                        position_ids=pos, pm_decoder_positions=pos,
+                        cache=c, step=jnp.int32(8) + i,
+                        prompt_lengths=st.prompt_lens + 1,
+                        enc_lengths=st.x_lens, **kw)
                     return c
                 return jax.lax.fori_loop(0, iters, body, cache)
             return loop
         return make
 
-    d_rc = marginal(make_decode(True), state.cache)
-    d_sc = marginal(make_decode(False), state.cache)
+    d_rc = marginal(make_decode(True), params, state, emb0, state.cache)
+    d_sc = marginal(make_decode(False), params, state, emb0, state.cache)
 
     # ---- head + per-row sampling vs batched sampling --------------------
     def make_head(per_row):
         def make(iters):
             @jax.jit
-            def loop(hid):
+            def loop(params, st, hid):
                 def body(i, h):
                     logits = voice.predict_head(params["head"], h)[:, 0]
                     if per_row:
                         tok, _ = continuous._sample_rows(
-                            cfg, dcfg, logits, state.steps,
-                            state.prev_token, state.consec_silence,
-                            state.rngs)
+                            cfg, dcfg, logits, st.steps,
+                            st.prev_token, st.consec_silence,
+                            st.rngs)
                     else:
                         tok, _ = engine.sample_step_token(
                             cfg, dcfg, logits, jnp.int32(8),
-                            state.prev_token, state.consec_silence,
+                            st.prev_token, st.consec_silence,
                             jax.random.PRNGKey(3))
                     emb = voice.embed_audio(params, tok[:, None]).astype(
                         compute_dtype)
@@ -144,8 +148,8 @@ def main():
             return loop
         return make
 
-    h_row = marginal(make_head(True), state.last_hidden)
-    h_bat = marginal(make_head(False), state.last_hidden)
+    h_row = marginal(make_head(True), params, state, state.last_hidden)
+    h_bat = marginal(make_head(False), params, state, state.last_hidden)
 
     print(f"slots={b} prompt={args.prompt} frames={args.frames} "
           f"cache={continuous.resolve_cache_mode(cfg, dcfg, args.prompt)}")
