@@ -236,14 +236,11 @@ def admit(
 def _sample_rows(cfg: VoiceConfig, dcfg: DecodeConfig, logits, steps,
                  prev_token, consec_silence, rngs):
     """Per-row guarded sampling: each row folds ITS OWN key with ITS OWN
-    step, so a slot's stream is independent of everything else."""
-
-    def one(lg, st, pv, cs, key):
-        tok, am = engine.sample_step_token(
-            cfg, dcfg, lg[None], st, pv[None], cs[None], key)
-        return tok[0], am[0]
-
-    return jax.vmap(one)(logits, steps, prev_token, consec_silence, rngs)
+    step, so a slot's stream is independent of everything else. The
+    filtering math runs batched (engine.sample_step_token_rows); only the
+    key fold + categorical draw are per-row."""
+    return engine.sample_step_token_rows(cfg, dcfg, logits, steps,
+                                         prev_token, consec_silence, rngs)
 
 
 class SegmentFns(NamedTuple):

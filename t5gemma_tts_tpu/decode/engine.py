@@ -280,6 +280,93 @@ def prefill(
 # ---------------------------------------------------------------------------
 
 
+def _candidate_sample(cfg: VoiceConfig, dcfg: DecodeConfig, logits, step,
+                      prev_token, consec_silence, step_rng=None,
+                      row_keys=None):
+    """Top-(k+2) candidate fast path shared by the windowed loop (scalar
+    ``step`` + one ``step_rng``) and continuous batching (``step`` [B] +
+    per-row ``row_keys``, already folded with each row's own step).
+
+    One vocab-wide pass: raw top-(k+2) candidates; every adjustment only
+    lowers at most two tokens (EOG + repeated silence), so the adjusted
+    top-k lives inside this set — filtering here equals the reference's
+    adjust-then-top_k order (see ops/sampling.py::sample_from_candidates).
+    """
+    eog = cfg.eog_inference
+    vocab = cfg.audio_embedding_vocab
+    sr_fifth = int(cfg.encodec_sr) // 5
+    silence = jnp.asarray(dcfg.silence_tokens, jnp.int32) \
+        if dcfg.silence_tokens else None
+
+    kk = min(dcfg.top_k + 2, vocab)
+    if dcfg.approx_top_k:
+        vals, idx = jax.lax.approx_max_k(
+            logits.astype(jnp.float32), kk, recall_target=0.99)
+    else:
+        vals, idx = jax.lax.top_k(logits, kk)
+    vals = vals.astype(jnp.float32)
+    step_arr = jnp.asarray(step)
+    early = step_arr <= sr_fifth
+    first = step_arr == 0
+    if step_arr.ndim:                       # per-row clocks -> [B, 1]
+        early, first = early[:, None], first[:, None]
+    is_eog = idx == eog
+    vals = jnp.where(is_eog & early, -10000.0, vals)
+    vals = jnp.where(is_eog & first, -1e9, vals)
+    if dcfg.stop_repetition > 0 and dcfg.silence_tokens:
+        prev_is_sil = jnp.any(
+            prev_token[:, None] == silence[None, :], axis=1
+        )
+        active = prev_is_sil & (consec_silence > dcfg.stop_repetition)
+        factor = (consec_silence
+                  - (dcfg.stop_repetition - 1)).astype(jnp.float32)
+        at_prev = idx == prev_token[:, None]
+        pen = jnp.where(vals < 0, vals * factor[:, None],
+                        vals / jnp.maximum(factor, 1.0)[:, None])
+        vals = jnp.where(at_prev & active[:, None], pen, vals)
+
+    b_idx = jnp.arange(vals.shape[0])
+    argmax_tok = idx[b_idx, jnp.argmax(vals, axis=-1)]
+    token = sampling.sample_from_candidates(
+        step_rng, vals, idx, top_k=dcfg.top_k, top_p=dcfg.top_p,
+        temperature=dcfg.temperature, row_keys=row_keys,
+    )
+    return token, argmax_tok
+
+
+def sample_step_token_rows(
+    cfg: VoiceConfig,
+    dcfg: DecodeConfig,
+    logits: jnp.ndarray,          # [B, Va]
+    steps: jnp.ndarray,           # [B] per-row clocks
+    prev_token: jnp.ndarray,      # [B]
+    consec_silence: jnp.ndarray,  # [B]
+    raw_keys: jnp.ndarray,        # [B, 2] per-slot raw uint32 keys
+):
+    """Per-row-clock guarded sampling (continuous batching).
+
+    The filtering math is row-independent, so it runs BATCHED (the naive
+    per-row vmap of :func:`sample_step_token` measured a 1.4 ms/step tax
+    at 16 slots — tools/probe_continuous_parts.py); only the key fold and
+    the categorical draw are per-row. Each row's result is bit-identical
+    to a batch-1 :func:`sample_step_token` call with that row's key and
+    step (pinned by tests/test_continuous.py).
+    """
+    if not (dcfg.top_k and dcfg.top_k > 0) or (0.0 < dcfg.min_p < 1.0):
+        # exact full-vocab path: _adjust_logits takes a scalar step, so
+        # keep the per-row vmap for this (non-default) config
+        def one(lg, st, pv, cs, key):
+            tok, am = sample_step_token(
+                cfg, dcfg, lg[None], st, pv[None], cs[None], key)
+            return tok[0], am[0]
+
+        return jax.vmap(one)(logits, steps, prev_token, consec_silence,
+                             raw_keys)
+    row_keys = jax.vmap(jax.random.fold_in)(raw_keys, steps)
+    return _candidate_sample(cfg, dcfg, logits, steps, prev_token,
+                             consec_silence, row_keys=row_keys)
+
+
 def sample_step_token(
     cfg: VoiceConfig,
     dcfg: DecodeConfig,
@@ -296,51 +383,15 @@ def sample_step_token(
     logits at the same step draws the identical token — this is what makes
     speculative decoding bit-identical to the sequential loop.
     """
-    eog = cfg.eog_inference
-    vocab = cfg.audio_embedding_vocab
-    sr_fifth = int(cfg.encodec_sr) // 5
-    silence = jnp.asarray(dcfg.silence_tokens, jnp.int32) \
-        if dcfg.silence_tokens else None
-    step_rng = jax.random.fold_in(rng, step)
-
     # min_p bypasses top-k/top-p in the reference and can keep more than
     # k+2 survivors, so it routes through the exact full-vocab path; the
     # candidate fast path covers the standard top-k decode.
     if dcfg.top_k and dcfg.top_k > 0 and not (0.0 < dcfg.min_p < 1.0):
-        # one vocab-wide pass: raw top-(k+2) candidates; every adjustment
-        # only lowers at most two tokens (EOG + repeated silence), so the
-        # adjusted top-k lives inside this set — filtering here equals the
-        # reference's adjust-then-top_k order (see
-        # ops/sampling.py::sample_from_candidates).
-        kk = min(dcfg.top_k + 2, vocab)
-        if dcfg.approx_top_k:
-            vals, idx = jax.lax.approx_max_k(
-                logits.astype(jnp.float32), kk, recall_target=0.99)
-        else:
-            vals, idx = jax.lax.top_k(logits, kk)
-        vals = vals.astype(jnp.float32)
-        is_eog = idx == eog
-        vals = jnp.where(is_eog & (step <= sr_fifth), -10000.0, vals)
-        vals = jnp.where(is_eog & (step == 0), -1e9, vals)
-        if dcfg.stop_repetition > 0 and dcfg.silence_tokens:
-            prev_is_sil = jnp.any(
-                prev_token[:, None] == silence[None, :], axis=1
-            )
-            active = prev_is_sil & (consec_silence > dcfg.stop_repetition)
-            factor = (consec_silence
-                      - (dcfg.stop_repetition - 1)).astype(jnp.float32)
-            at_prev = idx == prev_token[:, None]
-            pen = jnp.where(vals < 0, vals * factor[:, None],
-                            vals / jnp.maximum(factor, 1.0)[:, None])
-            vals = jnp.where(at_prev & active[:, None], pen, vals)
-
-        b_idx = jnp.arange(vals.shape[0])
-        argmax_tok = idx[b_idx, jnp.argmax(vals, axis=-1)]
-        token = sampling.sample_from_candidates(
-            step_rng, vals, idx, top_k=dcfg.top_k, top_p=dcfg.top_p,
-            temperature=dcfg.temperature,
-        )
+        token, argmax_tok = _candidate_sample(
+            cfg, dcfg, logits, step, prev_token, consec_silence,
+            step_rng=jax.random.fold_in(rng, step))
     else:
+        step_rng = jax.random.fold_in(rng, step)
         adjusted = _adjust_logits(cfg, dcfg, logits.astype(jnp.float32),
                                   step, prev_token, consec_silence)
         token = sampling.sample(

@@ -153,6 +153,7 @@ def sample_from_candidates(
     temperature: float = 1.0,
     min_p_mask: Optional[jnp.ndarray] = None,  # [B, K] bool (True = remove)
     min_p_active: Optional[jnp.ndarray] = None,  # scalar bool
+    row_keys: Optional[jnp.ndarray] = None,  # [B] typed keys: per-row draw
 ) -> jnp.ndarray:
     """Sampling over a pre-extracted candidate set.
 
@@ -163,6 +164,13 @@ def sample_from_candidates(
     the adjusted top-k is always contained in the raw top-(k+2); filtering
     within the candidates equals the reference's adjust-then-filter order.
     Returns int32 [B].
+
+    ``row_keys`` (continuous batching): each row draws from ITS OWN key —
+    the filtering math stays batched (it is row-independent), only the
+    categorical draw is vmapped. Each row's draw is shaped [1, K] exactly
+    like a batch-1 call with that key, so a row's stream is bit-identical
+    to running alone (the property tests/test_continuous.py pins); ``rng``
+    is ignored in this mode.
     """
     assert top_k > 0 and vals.shape[-1] >= top_k
     if temperature != 1.0:
@@ -188,5 +196,12 @@ def sample_from_candidates(
         minp_kept = jnp.where(mp, NEG_INF, vals)
         kept = jnp.where(min_p_active, minp_kept, kept)
 
-    choice = jax.random.categorical(rng, kept.astype(jnp.float32), axis=-1)
+    if row_keys is not None:
+        choice = jax.vmap(
+            lambda k, row: jax.random.categorical(
+                k, row.astype(jnp.float32)[None], axis=-1)[0]
+        )(row_keys, kept)
+    else:
+        choice = jax.random.categorical(rng, kept.astype(jnp.float32),
+                                        axis=-1)
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)

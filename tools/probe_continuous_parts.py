@@ -78,13 +78,17 @@ def main():
         compute_dtype)
 
     def timed(fn, *a):
-        # block on the WHOLE output tree: on the tunneled axon backend a
-        # single pass-through leaf can report ready before the program runs
-        jax.block_until_ready(fn(*a))
+        # sync via an actual device->host read: on the tunneled axon backend
+        # block_until_ready can return before the program runs (measured:
+        # 0.06 ms for a 128-iteration decode loop), which zeroes every
+        # marginal. Same trick as tools/microbench_step.run_timed.
+        def sync(out):
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:2]
+        sync(fn(*a))
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*a))
+            sync(fn(*a))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -117,7 +121,12 @@ def main():
                         prompt_lengths=st.prompt_lens + 1,
                         enc_lengths=st.x_lens, **kw)
                     return c
-                return jax.lax.fori_loop(0, iters, body, cache)
+                c = jax.lax.fori_loop(0, iters, body, cache)
+                # return a TINY value: the sync in timed() transfers leaf 0
+                # to host, and a multi-hundred-MB cache leaf over the axon
+                # tunnel adds seconds of noise that swamps the marginal
+                return (jnp.sum(c.pending_k.astype(jnp.float32))
+                        + jnp.sum(c.gen_k[..., -1:, :].astype(jnp.float32)))
             return loop
         return make
 
