@@ -68,6 +68,11 @@ CHUNK = 2            # weight tiles per DMA (amortizes ~2.4 us start cost).
                      # stream busy. 0.316 ms/layer = ~680 GB/s effective,
                      # ~83% of v5e peak; further gains need fewer bytes
                      # (int4 weights / int8 KV), not better scheduling.
+                     # int4 weights measured: batch 1 0.155 -> 0.099
+                     # ms/layer (the latency mode); batch 64 NEUTRAL
+                     # (0.313 vs 0.316 — attention-bound there, the
+                     # unpack dots offset the DMA saving), so the
+                     # serving headline stays int8.
 
 
 def _rms(x32, w32, eps):
@@ -865,6 +870,15 @@ def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
             or (cache.gen_k.dtype == jnp.int8
                 and cache.gen_k_scale is not None)):
         return False
+    if cache.gen_k.dtype == jnp.int8 and jax.default_backend() == "tpu":
+        # int8-KV staged scale slabs: small batches FAULT the TPU worker
+        # (kernel crash measured at batch 1 — the [Hkv, B*pages, TBLOCK]
+        # scale scratch / its DMA slices land on sub-8 sublane extents;
+        # batch 8 and 64 measure clean). Gate to batch % 8 == 0 and let
+        # smaller batches take the two-kernel int8 path (fused_mode 2).
+        batch = cache.gen_k.shape[1] // dims.num_layers
+        if batch % 8 != 0:
+            return False
     ho = dims.num_heads * dims.head_dim
     f = dims.intermediate_size
     if w4:

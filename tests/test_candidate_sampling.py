@@ -93,3 +93,35 @@ def test_candidate_filter_matches_exact_path():
                 f"trial {trial} row {b}: {cand_sets[b]} != {exact_sets[b]}"
             )
         np.testing.assert_array_equal(cand_argmax, exact_argmax)
+
+
+def test_rows_sampler_bit_identical_to_batch1():
+    """sample_step_token_rows (continuous batching: batched filtering,
+    per-row keys/clocks) must produce EXACTLY what a batch-1
+    sample_step_token call with that row's key and step produces."""
+    from t5gemma_tts_tpu.decode.engine import (
+        sample_step_token, sample_step_token_rows,
+    )
+
+    cfg = tiny_voice_config()
+    rng = np.random.default_rng(7)
+    v = cfg.audio_embedding_vocab
+    dcfg = DecodeConfig(top_k=8, top_p=0.9, temperature=0.8,
+                        stop_repetition=3, silence_tokens=(5, 9),
+                        approx_top_k=False)
+    b = 5
+    logits = jnp.asarray(rng.normal(size=(b, v)).astype(np.float32) * 2)
+    steps = jnp.asarray(rng.integers(0, 25, size=b).astype(np.int32))
+    prev = jnp.asarray(rng.choice([5, 9, 17], size=b).astype(np.int32))
+    consec = jnp.asarray(rng.integers(0, 8, size=b).astype(np.int32))
+    raw_keys = jnp.asarray(
+        rng.integers(0, 2**32, size=(b, 2), dtype=np.uint32))
+
+    tok, am = sample_step_token_rows(cfg, dcfg, logits, steps, prev,
+                                     consec, raw_keys)
+    for r in range(b):
+        t1, a1 = sample_step_token(
+            cfg, dcfg, logits[r:r + 1], steps[r], prev[r:r + 1],
+            consec[r:r + 1], raw_keys[r])
+        assert int(tok[r]) == int(t1[0]), f"row {r} token mismatch"
+        assert int(am[r]) == int(a1[0]), f"row {r} argmax mismatch"
