@@ -28,7 +28,7 @@ def main():
                          "weights (batch-invariant) + per-row attention "
                          "slabs, so RTF keeps climbing with batch until "
                          "attention bytes dominate: measured 115.4x at 64, "
-                         "145.0x at 128 (2026-08-19, paged_i8)")
+                         "145.1x at 128 (2026-08-19, paged_i8)")
     ap.add_argument("--seconds", type=float, default=5.0,
                     help="target duration per utterance")
     ap.add_argument("--preset", default="2b-2b", choices=["2b-2b", "b-b", "test"])

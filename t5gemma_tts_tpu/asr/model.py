@@ -167,11 +167,24 @@ def decoder_logits(params: PyTree, cfg: WhisperConfig, ids: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new"))
-def greedy_decode(params: PyTree, cfg: WhisperConfig, enc_out: jnp.ndarray,
-                  forced_ids: jnp.ndarray, n_forced: jnp.ndarray,
-                  max_new: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy continuation of ``forced_ids`` (padded [F]; ``n_forced``
-    valid). Returns (ids [F + max_new] padded with eos, length)."""
+def decode_with_stats(params: PyTree, cfg: WhisperConfig,
+                      enc_out: jnp.ndarray, forced_ids: jnp.ndarray,
+                      n_forced: jnp.ndarray, max_new: int,
+                      temperature: jnp.ndarray,
+                      rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                               jnp.ndarray]:
+    """Continuation of ``forced_ids`` (padded [F]; ``n_forced`` valid) with
+    the quality statistics the whisper package's ``transcribe()`` fallback
+    ladder gates on (reference inference_commandline.py:160-182 inherits
+    them from the pip package).
+
+    ``temperature`` is a traced scalar: 0 -> argmax (greedy), > 0 ->
+    categorical sample of softmax(logits/T) — ONE compiled program serves
+    every rung of the fallback ladder. Returns (ids [F + max_new] padded
+    with eos, length, sum_logprob) where sum_logprob accumulates the chosen
+    token's log-softmax over the generated (non-forced) steps including the
+    terminating eos, matching whisper's avg_logprob numerator.
+    """
     dec = params["decoder"]
     heads = cfg.decoder_attention_heads
     d = cfg.d_model
@@ -194,7 +207,7 @@ def greedy_decode(params: PyTree, cfg: WhisperConfig, enc_out: jnp.ndarray,
     cv = jnp.zeros((n_layers, heads, max_t, hd), jnp.float32)
 
     def step(state):
-        tokens, t, ck, cv, done = state
+        tokens, t, ck, cv, done, sum_lp = state
         tok = tokens[t - 1]
         h = dec["embed"][tok] + dec["pos"][t - 1]          # [D]
         h = h[None, :]                                     # [1, D]
@@ -232,22 +245,41 @@ def greedy_decode(params: PyTree, cfg: WhisperConfig, enc_out: jnp.ndarray,
             layer, (h, 0), (dec["layers"], xk, xv))
         h = _ln(h, dec["ln_post"], cfg.eps)
         logits = (h @ dec["embed"].T)[0]
-        nxt = jnp.argmax(logits).astype(jnp.int32)
+        greedy = jnp.argmax(logits).astype(jnp.int32)
+        t_safe = jnp.maximum(temperature, 1e-6)
+        sampled = jax.random.categorical(
+            jax.random.fold_in(rng, t), logits / t_safe).astype(jnp.int32)
+        nxt = jnp.where(temperature > 0, sampled, greedy)
         # inside the forced prefix, the "prediction" is the forced token
         nxt = jnp.where(t < n_forced, tokens[t], nxt)
         nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        logp = jax.nn.log_softmax(logits)[nxt]
+        sum_lp = sum_lp + jnp.where((t >= n_forced) & ~done, logp, 0.0)
         tokens = tokens.at[t].set(
             jnp.where(t < n_forced, tokens[t], nxt))
         done = done | ((t >= n_forced) & (nxt == cfg.eos_token_id))
-        return tokens, t + 1, ck_new, cv_new, done
+        return tokens, t + 1, ck_new, cv_new, done, sum_lp
 
     def cond(state):
-        _, t, _, _, done = state
+        _, t, _, _, done, _ = state
         return (~done) & (t < max_t)
 
-    tokens, t, _, _, _ = jax.lax.while_loop(
-        cond, step, (tokens0, jnp.int32(1), ck, cv, jnp.bool_(False)))
-    return tokens, t
+    tokens, t, _, _, _, sum_lp = jax.lax.while_loop(
+        cond, step, (tokens0, jnp.int32(1), ck, cv, jnp.bool_(False),
+                     jnp.float32(0.0)))
+    return tokens, t, sum_lp
+
+
+def greedy_decode(params: PyTree, cfg: WhisperConfig, enc_out: jnp.ndarray,
+                  forced_ids: jnp.ndarray, n_forced: jnp.ndarray,
+                  max_new: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy continuation of ``forced_ids`` (temperature-0 wrapper of
+    :func:`decode_with_stats`). Returns (ids [F + max_new] padded with eos,
+    length)."""
+    ids, t, _ = decode_with_stats(
+        params, cfg, enc_out, forced_ids, n_forced, max_new,
+        jnp.float32(0.0), jax.random.PRNGKey(0))
+    return ids, t
 
 
 def init_params(rng: jax.Array, cfg: WhisperConfig) -> PyTree:

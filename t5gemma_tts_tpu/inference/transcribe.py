@@ -6,10 +6,13 @@ That package is optional here; the preference order is:
 
   1. ``whisper`` package, model "large-v3-turbo"   (reference behavior)
   2. **in-repo JAX Whisper** (asr/): HF weights convert once
-     (asr/convert.py) and ALL inference — mel frontend, encoder, greedy
-     decode — runs as JAX; torch is only the weight loader and the HF
-     tokenizer does token<->text. Language auto-detected from the first
-     decoder step when not given.
+     (asr/convert.py) and ALL inference — mel frontend, encoder, decode —
+     runs as JAX; torch is only the weight loader and the HF tokenizer
+     does token<->text. Language auto-detected from the first decoder
+     step when not given. Robustness matches the whisper package's
+     ``transcribe()``: a temperature-fallback ladder (0 -> 1.0) gated on
+     compression ratio and average log-probability retries degenerate /
+     unconfident transcripts instead of returning them as-is.
   3. transformers WhisperForConditionalGeneration (torch CPU) — kept as
      the last-resort fallback and the parity oracle in tests.
 
@@ -27,6 +30,61 @@ log = logging.getLogger(__name__)
 Transcriber = Callable[[str], str]
 
 WHISPER_SR = 16000
+
+# whisper-package transcribe() defaults the reference inherits
+# (reference inference_commandline.py:160-182 calls whisper.transcribe,
+# which retries at rising temperatures when the output is degenerate)
+FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+COMPRESSION_RATIO_THRESHOLD = 2.4
+LOGPROB_THRESHOLD = -1.0
+
+
+def compression_ratio(text: str) -> float:
+    """zlib length ratio — high values flag looping/degenerate output
+    (the whisper package's repetition gate)."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def needs_fallback(text: str, avg_logprob: float,
+                   compression_ratio_threshold: float =
+                   COMPRESSION_RATIO_THRESHOLD,
+                   logprob_threshold: float = LOGPROB_THRESHOLD) -> bool:
+    """whisper's quality gate: retry at a higher temperature when the
+    transcript is too repetitive (compression ratio) or too unconfident
+    (average token log-probability)."""
+    if compression_ratio(text) > compression_ratio_threshold:
+        return True
+    if avg_logprob < logprob_threshold:
+        return True
+    return False
+
+
+def decode_with_fallback(decode_fn: Callable[[float], tuple],
+                         temperatures=FALLBACK_TEMPERATURES,
+                         compression_ratio_threshold: float =
+                         COMPRESSION_RATIO_THRESHOLD,
+                         logprob_threshold: float = LOGPROB_THRESHOLD) -> str:
+    """Temperature-fallback ladder around ``decode_fn(temperature) ->
+    (text, avg_logprob)``: walk the rungs until the quality gate passes;
+    the last rung's output is returned unconditionally (whisper semantics:
+    temperature 1.0 is accepted as-is)."""
+    text = ""
+    for i, temp in enumerate(temperatures):
+        text, avg_logprob = decode_fn(temp)
+        if not needs_fallback(text, avg_logprob,
+                              compression_ratio_threshold,
+                              logprob_threshold):
+            return text
+        if i + 1 < len(temperatures):
+            log.info("transcription gate failed at T=%.1f "
+                     "(avg_logprob=%.2f, compression_ratio=%.2f); retrying",
+                     temp, avg_logprob, compression_ratio(text))
+    return text
 
 
 def hf_transcriber(processor, model) -> Transcriber:
@@ -57,6 +115,7 @@ def jax_transcriber(params, cfg, tokenizer,
     When ``language`` is None, it is detected whisper-style: one decoder
     step from <|startoftranscript|>, argmax restricted to language tokens.
     """
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -98,11 +157,23 @@ def jax_transcriber(params, cfg, tokenizer,
         forced = [sot, lang_tok, task_id, nots_id]
         forced = [t for t in forced if t is not None]
         f = jnp.asarray(forced, jnp.int32)
-        ids, n = asr_model.greedy_decode(
-            params, cfg, enc, f, jnp.int32(len(forced)),
-            min(max_new, cfg.max_target_positions - len(forced) - 1))
-        ids = np.asarray(ids)[: int(n)]
-        return tokenizer.decode(ids, skip_special_tokens=True).strip()
+        budget = min(max_new, cfg.max_target_positions - len(forced) - 1)
+
+        def decode_at(temp: float):
+            ids, n, sum_lp = asr_model.decode_with_stats(
+                params, cfg, enc, f, jnp.int32(len(forced)), budget,
+                jnp.float32(temp),
+                jax.random.fold_in(jax.random.PRNGKey(0),
+                                   int(round(temp * 10))))
+            n = int(n)
+            ids = np.asarray(ids)[:n]
+            # generated count incl. eos == whisper's (len(text_tokens) + 1)
+            n_gen = max(n - len(forced), 1)
+            avg_logprob = float(sum_lp) / n_gen
+            text = tokenizer.decode(ids, skip_special_tokens=True).strip()
+            return text, avg_logprob
+
+        return decode_with_fallback(decode_at)
 
     return transcribe
 

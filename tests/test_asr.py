@@ -167,3 +167,52 @@ def test_jax_transcriber_end_to_end(tmp_path):
     fn = jax_transcriber(params2, cfg2, MockTok(), max_new=6)
     text = fn(path)
     assert isinstance(text, str)
+
+
+def test_decode_with_stats_temperature_zero_matches_greedy():
+    """T=0 through decode_with_stats IS the greedy path, and sum_logprob
+    accumulates the chosen tokens' log-softmax (<= 0, finite)."""
+    hf, cfg, params = _tiny_pair(seed=7)
+    rng = np.random.default_rng(8)
+    mel = rng.normal(size=(cfg.num_mel_bins,
+                           2 * cfg.max_source_positions)).astype(np.float32)
+    enc = asr_model.encode(params, cfg, jnp.asarray(mel))
+    forced = jnp.asarray([cfg.decoder_start_token_id, 5], jnp.int32)
+
+    ids_g, n_g = asr_model.greedy_decode(params, cfg, enc, forced,
+                                         jnp.int32(2), 8)
+    ids_s, n_s, sum_lp = asr_model.decode_with_stats(
+        params, cfg, enc, forced, jnp.int32(2), 8,
+        jnp.float32(0.0), jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(ids_g), np.asarray(ids_s))
+    assert int(n_g) == int(n_s)
+    assert float(sum_lp) <= 0.0 and np.isfinite(float(sum_lp))
+    # avg logprob over generated tokens is what the ladder gates on
+    avg = float(sum_lp) / max(int(n_s) - 2, 1)
+    assert avg <= 0.0
+
+
+def test_decode_with_stats_sampling_respects_forced_prefix():
+    """T>0 sampling: forced prefix preserved, tokens in-vocab, eos padding
+    after the emitted length."""
+    hf, cfg, params = _tiny_pair(seed=9)
+    rng = np.random.default_rng(10)
+    mel = rng.normal(size=(cfg.num_mel_bins,
+                           2 * cfg.max_source_positions)).astype(np.float32)
+    enc = asr_model.encode(params, cfg, jnp.asarray(mel))
+    forced = jnp.asarray([cfg.decoder_start_token_id, 5, 6], jnp.int32)
+
+    ids, n, sum_lp = asr_model.decode_with_stats(
+        params, cfg, enc, forced, jnp.int32(3), 8,
+        jnp.float32(0.8), jax.random.PRNGKey(4))
+    ids = np.asarray(ids)
+    n = int(n)
+    assert list(ids[:3]) == [cfg.decoder_start_token_id, 5, 6]
+    assert ((ids >= 0) & (ids < cfg.vocab_size)).all()
+    assert (ids[n:] == cfg.eos_token_id).all()
+    assert float(sum_lp) <= 0.0
+    # different rng -> (almost surely) different trace at high temperature
+    ids2, _, _ = asr_model.decode_with_stats(
+        params, cfg, enc, forced, jnp.int32(3), 8,
+        jnp.float32(0.8), jax.random.PRNGKey(5))
+    assert not np.array_equal(ids, np.asarray(ids2)) or n <= 4

@@ -10,6 +10,17 @@ splits the remaining ~1.9 ms of STEP GLUE:
   flush     the pending-K/V flush alone (scalar clock: 2 contiguous DUS)
   fullstep  t5gemma.paged_decode_step (flush + layers + final norm)
 
+All three stages hold the step clock CONSTANT at glens=8 (the full-step
+loop re-flushes the same slot every iteration), so every stage measures
+the same attention geometry and the reported glue residual
+(t_full - t_layers - t_flush - t_norm) is not biased by a growing
+generation length.
+
+The probe characterizes the bf16 paged path (kv_cache="auto" resolves to
+bf16 pages on TPU), NOT the paged_i8 serving-headline config; it requires
+a TPU backend (asserted at startup — off-TPU "auto" resolves to a dense
+cache and the cache has no gen_k slabs).
+
 Timing is marginal over in-jit chained loops (axon dispatch ~5-12 ms).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_step_parts.py
@@ -45,6 +56,11 @@ def main():
     from t5gemma_tts_tpu.ops import megakernel as mk
     from t5gemma_tts_tpu.ops import rope as rope_ops
     from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
+
+    assert jax.default_backend() == "tpu", (
+        "probe_step_parts measures the TPU paged megakernel path; off-TPU "
+        "kv_cache='auto' resolves to a dense cache (no gen_k slabs) and "
+        "make_full would fail opaquely")
 
     cfg = VoiceConfig(backbone=backbone_preset("2b-2b"))
     dcfg = DecodeConfig(top_k=30, top_p=0.9, temperature=0.8,
@@ -99,10 +115,12 @@ def main():
         @jax.jit
         def loop(params, st, emb0, pos, cache):
             def body(i, c):
+                # step held CONSTANT (same slot re-flushed) so the attention
+                # geometry matches the layers-only stage at glens=8
                 _, c = t5gemma.paged_decode_step(
                     params["decoder"], dims, inputs_embeds=emb0,
                     position_ids=pos, pm_decoder_positions=pos,
-                    cache=c, step=jnp.int32(8) + i,
+                    cache=c, step=jnp.int32(8) + i * 0,
                     prompt_lengths=st.prompt_lens + 1,
                     enc_lengths=st.x_lens)
                 return c
@@ -133,7 +151,9 @@ def main():
 
             def step(i, h):
                 h3, (kn, vn) = jax.lax.scan(body3, h, layer_ids)
-                return h3 + 1e-6 * jnp.sum(kn[..., :1]) * 0
+                # real (non-constant-folded) dependency on the K/V outputs so
+                # the scan's attention writes cannot be dead-code-eliminated
+                return h3 + jnp.sum(kn[..., :1].astype(jnp.float32)) * 1e-30
             h = jax.lax.fori_loop(0, iters, step, h0)
             return jnp.sum(h)
         return loop
