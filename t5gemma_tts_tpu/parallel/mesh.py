@@ -230,3 +230,41 @@ def shard_batch(batch: PyTree, mesh: Mesh, axis: int = 0,
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_slot_state(state, mesh: Mesh):
+    """dp-shard a continuous-batching ``SlotState`` over its slot axis.
+
+    Multi-device continuous serving: the resident batch's B slots split
+    over the DATA axis so each device decodes B/dp rows (the vLLM-style
+    counterpart of the reference's single-GPU Gradio loop). Dense-cache
+    states only: the paged cache folds batch into its ``L*B`` row axis
+    (layer-major, so a contiguous dp split cuts at LAYER boundaries, not
+    slot boundaries) — shard those over the MODEL axis via shard_params
+    instead, keeping the state replicated.
+
+    Leaf rules: ``DecoderCache`` slabs are [L, B, ...] (slots at dim 1);
+    every other SlotState leaf carries slots at dim 0.
+    """
+    from ..models import t5gemma
+
+    if not isinstance(state.cache, t5gemma.DecoderCache):
+        raise ValueError(
+            "shard_slot_state supports dense-cache SlotStates only: the "
+            "paged cache's [Hkv, L*B, ...] slabs fold batch layer-major, "
+            "so a data-axis split lands on layer boundaries. Use tensor "
+            "parallelism (shard_params) with a replicated state instead.")
+    dp = mesh.shape[DATA_AXIS]
+    b = state.tokens.shape[0]
+    if b % dp != 0:
+        raise ValueError(f"slot count {b} not divisible by dp={dp}")
+
+    cache = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(None, DATA_AXIS))), state.cache)
+    rest = {
+        f: jax.device_put(getattr(state, f),
+                          NamedSharding(mesh, P(DATA_AXIS)))
+        for f in state._fields if f != "cache"
+    }
+    return state._replace(cache=cache, **rest)

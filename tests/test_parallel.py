@@ -222,3 +222,127 @@ def test_zero1_save_restore_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(r_after.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Multi-device CONTINUOUS decode (VERDICT r3 next #5): the segment/admit
+# programs must compile + execute on a >1-device mesh and bit-match the
+# single-device stream.
+# ---------------------------------------------------------------------------
+
+def _continuous_requests(cfg, n, tx, pmax, seed0=100):
+    reqs = []
+    for s in range(n):
+        rng = np.random.default_rng(seed0 + s)
+        x = np.zeros((tx,), np.int32)
+        xl = int(rng.integers(4, tx + 1))
+        x[:xl] = rng.integers(3, cfg.text_vocab_size, xl)
+        p = np.zeros((pmax,), np.int32)
+        pl = int(rng.integers(0, pmax + 1))
+        p[:pl] = rng.integers(0, cfg.audio_vocab_size, pl)
+        tgt = pl + int(rng.integers(10, 20))
+        reqs.append((jnp.asarray(x), jnp.int32(xl), jnp.asarray(p),
+                     jnp.int32(pl), jnp.int32(tgt),
+                     jax.random.PRNGKey(7000 + s)))
+    return reqs
+
+
+def _drain(fns, params, state, continuous, want):
+    got = {}
+    for _ in range(12):
+        state = fns.segment(params, state, jnp.int32(16))
+        state, outs = continuous.harvest(state)
+        for slot, toks in outs:
+            got[slot] = toks
+        if len(got) >= want:
+            return got
+    raise AssertionError(f"only {len(got)}/{want} requests finished")
+
+
+def test_continuous_segment_dp_sharded_matches_single_device():
+    """Dense-cache SlotState dp-sharded over 8 devices: admit 3 requests,
+    run segments, bit-match every harvested stream vs the replicated run."""
+    import dataclasses
+
+    from t5gemma_tts_tpu.config import DecodeConfig
+    from t5gemma_tts_tpu.decode import continuous
+
+    cfg = dataclasses.replace(tiny_voice_config(), extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    dcfg = DecodeConfig(top_k=8, top_p=0.9, temperature=0.8, max_frames=32,
+                        kv_cache="dense")
+    fns = continuous.make_fns(cfg, dcfg)
+    tx, pmax, b = 10, 4, 8
+    reqs = _continuous_requests(cfg, 3, tx, pmax)
+
+    def run(state):
+        state = fns.admit(params, state, jnp.int32(0), *reqs[0])
+        state = fns.segment(params, state, jnp.int32(5))
+        state = fns.admit(params, state, jnp.int32(3), *reqs[1])
+        state = fns.segment(params, state, jnp.int32(4))
+        state = fns.admit(params, state, jnp.int32(6), *reqs[2])
+        return _drain(fns, params, state, continuous, 3)
+
+    ref = run(continuous.init_slots(cfg, dcfg, b, tx, pmax))
+
+    mesh = parallel.make_mesh(dp=8, tp=1)
+    state = parallel.shard_slot_state(
+        continuous.init_slots(cfg, dcfg, b, tx, pmax), mesh)
+    got = run(state)
+
+    assert set(got) == set(ref)
+    for slot in ref:
+        np.testing.assert_array_equal(ref[slot], got[slot])
+
+
+def test_continuous_segment_tp_sharded_matches_single_device():
+    """Tensor-parallel continuous decode: params sharded over the model
+    axis (state replicated), streams bit-match single-device."""
+    import dataclasses
+
+    from t5gemma_tts_tpu.config import DecodeConfig
+    from t5gemma_tts_tpu.decode import continuous
+
+    cfg = dataclasses.replace(tiny_voice_config(), extra_cutoff=0.0)
+    params = voice.init_params(jax.random.PRNGKey(1), cfg)
+    dcfg = DecodeConfig(top_k=4, top_p=0.9, temperature=0.8, max_frames=32,
+                        kv_cache="dense")
+    fns = continuous.make_fns(cfg, dcfg)
+    tx, pmax, b = 10, 4, 4
+    reqs = _continuous_requests(cfg, 2, tx, pmax, seed0=300)
+
+    def run(p):
+        state = continuous.init_slots(cfg, dcfg, b, tx, pmax)
+        state = fns.admit(p, state, jnp.int32(1), *reqs[0])
+        state = fns.segment(p, state, jnp.int32(6))
+        state = fns.admit(p, state, jnp.int32(2), *reqs[1])
+        return _drain(fns, p, state, continuous, 2)
+
+    ref = run(params)
+
+    mesh = parallel.make_mesh(dp=2, tp=4)
+    sp = parallel.shard_params(params, mesh)
+    got = run(sp)
+
+    assert set(got) == set(ref)
+    for slot in ref:
+        np.testing.assert_array_equal(ref[slot], got[slot])
+
+
+def test_shard_slot_state_rejects_paged():
+    import dataclasses
+
+    import pytest
+
+    from t5gemma_tts_tpu.config import DecodeConfig
+    from t5gemma_tts_tpu.decode import continuous
+
+    cfg = dataclasses.replace(tiny_voice_config(), extra_cutoff=0.0)
+    dims = dataclasses.replace(cfg.backbone.decoder, sliding_window=4096)
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, decoder=dims))
+    dcfg = DecodeConfig(max_frames=32, kv_cache="paged")
+    state = continuous.init_slots(cfg, dcfg, 8, 10, 4)
+    mesh = parallel.make_mesh(dp=8, tp=1)
+    with pytest.raises(ValueError, match="dense-cache"):
+        parallel.shard_slot_state(state, mesh)
