@@ -140,6 +140,18 @@ def _empty_slots(cfg, dcfg, batch, cache, compute_dtype) -> SlotState:
     )
 
 
+def _admit_kv_mode(state: SlotState, dcfg: DecodeConfig) -> DecodeConfig:
+    """Pin dcfg.kv_cache to the flavor the resident state was built with."""
+    paged = isinstance(state.cache, t5gemma.PagedDecoderCache)
+    if paged:
+        kv_mode = {jnp.dtype(jnp.int8): "paged_i8"}.get(
+            jnp.dtype(state.cache.gen_k.dtype), "paged")
+        if state.cache.gen_k.dtype == jnp.float8_e4m3fn:
+            kv_mode = "paged_f8"
+        return dataclasses.replace(dcfg, kv_cache=kv_mode)
+    return dataclasses.replace(dcfg, kv_cache="dense")
+
+
 def admit(
     params: PyTree,
     cfg: VoiceConfig,
@@ -154,17 +166,31 @@ def admit(
     rng: jax.Array,                 # this request's own key
 ) -> SlotState:
     """Prefill ONE request and install it into ``slot``."""
-    paged = isinstance(state.cache, t5gemma.PagedDecoderCache)
-    if paged:
-        kv_mode = {jnp.dtype(jnp.int8): "paged_i8"}.get(
-            jnp.dtype(state.cache.gen_k.dtype), "paged")
-        if state.cache.gen_k.dtype == jnp.float8_e4m3fn:
-            kv_mode = "paged_f8"
-        dcfg = dataclasses.replace(dcfg, kv_cache=kv_mode)
-    else:
-        dcfg = dataclasses.replace(dcfg, kv_cache="dense")
+    dcfg = _admit_kv_mode(state, dcfg)
     st1 = engine.prefill(params, cfg, dcfg, x[None], x_len[None],
                          prompt[None], prompt_len[None], target_total[None])
+    return install_row(cfg, state, st1, slot, x_len, prompt_len,
+                       target_total, rng)
+
+
+def install_row(
+    cfg: VoiceConfig,
+    state: SlotState,
+    st1: Any,                       # engine prefill state (batch 1)
+    slot: jnp.ndarray,
+    x_len: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    target_total: jnp.ndarray,
+    rng: jax.Array,
+) -> SlotState:
+    """Scatter a batch-1 prefill result into resident ``slot``.
+
+    Split out of :func:`admit` so it can compile as its OWN program: the
+    combined prefill+scatter program failed terminal remote-compile at 128
+    slots (HTTP 500, tpu_compile_helper exit 1 — NEXT_STEPS r3), while the
+    two halves compile fine; the prefill half is also shared across slot
+    counts."""
+    paged = isinstance(state.cache, t5gemma.PagedDecoderCache)
 
     def put_row(buf, row, axis):
         # row has a leading length-1 batch dim at ``axis``
@@ -347,17 +373,24 @@ def make_fns(cfg: VoiceConfig, dcfg: DecodeConfig) -> SegmentFns:
         _, out = jax.lax.while_loop(cond, step, (jnp.int32(0), state))
         return out
 
-    admit_fn = functools.partial(admit, cfg=cfg, dcfg=dcfg)
+    # Admission runs as TWO chained programs — batch-1 prefill, then a
+    # scatter-only install with the resident state donated. The single
+    # fused admit program failed terminal remote-compile at 128 slots
+    # (HTTP 500, tpu_compile_helper exit 1); the split halves compile at
+    # every slot count, and the prefill program is shared with the
+    # streaming engine (engine.jitted_segment_fns).
+    inst = jax.jit(functools.partial(install_row, cfg), donate_argnums=(0,))
+
+    def admit_fn(params, state, slot, x, x_len, prompt, prompt_len,
+                 tgt, rng):
+        d2 = _admit_kv_mode(state, dcfg)
+        pf, _ = engine.jitted_segment_fns(cfg, d2)
+        st1 = pf(params, x=x[None], x_lens=x_len[None], prompt=prompt[None],
+                 prompt_lens=prompt_len[None], target_totals=tgt[None])
+        return inst(state, st1, slot, x_len, prompt_len, tgt, rng)
 
     return SegmentFns(
-        admit=jax.jit(
-            lambda params, state, slot, x, x_len, prompt, prompt_len,
-            tgt, rng: admit_fn(
-                params, state=state, slot=slot, x=x, x_len=x_len,
-                prompt=prompt, prompt_len=prompt_len, target_total=tgt,
-                rng=rng),
-            donate_argnums=(1,),
-        ),
+        admit=admit_fn,
         segment=jax.jit(segment, donate_argnums=(1,)),
     )
 
