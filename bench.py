@@ -21,6 +21,13 @@ import numpy as np
 
 
 def main():
+    # must run before any device touch: this terminal registers the axon
+    # backend at interpreter startup, so JAX_PLATFORMS=cpu in the env alone
+    # does NOT switch platforms (see utils/platform.py)
+    from t5gemma_tts_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
                     help="serving batch for the throughput headline. The "
@@ -70,6 +77,17 @@ def main():
                     help="TPU-native approximate top-k (default on)")
     ap.add_argument("--no-approx-topk", dest="approx_topk",
                     action="store_false")
+    ap.add_argument("--train-probe", action="store_true",
+                    help="internal: measure training-step throughput "
+                         "(fwd+bwd+optimizer at recipe-like dims) and print "
+                         "one JSON line — run as its own process by the "
+                         "orchestrator (phase D)")
+    ap.add_argument("--train-lora", action="store_true",
+                    help="with --train-probe: LoRA(r16) fine-tune of the "
+                         "flagship instead of full fine-tune (2b-2b full "
+                         "optimizer state does not fit one 16 GB chip)")
+    ap.add_argument("--skip-train-probe", action="store_true",
+                    help="skip the training-throughput phase")
     ap.add_argument("--warm-probe", action="store_true",
                     help="internal: compile the headline decode program and "
                          "print its compile time (run in a fresh process "
@@ -88,6 +106,7 @@ def main():
     import os
 
     if (args.mode == "throughput" and not args.warm_probe
+            and not args.train_probe
             and not args.skip_matrix and args.preset != "test"
             and not os.environ.get("T5G_BENCH_CHILD")):
         _orchestrate(args)
@@ -120,6 +139,10 @@ def main():
                          "probe failed/timed out; tunnel down?)",
             }))
             return
+
+    if args.train_probe:
+        _train_probe(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -370,6 +393,163 @@ def main():
     print(json.dumps(record))
 
 
+def _train_probe(args):
+    """Phase D: training-step throughput at recipe-like dims (VERDICT r3
+    next #4). Full fine-tune of the b-b backbone, or LoRA(r16) of the
+    flagship 2b-2b with --train-lora (2b-2b full-FT optimizer state does
+    not fit one 16 GB chip; the reference recipe's LoRA path is the
+    like-for-like single-chip config). Prints ONE JSON line with ms/step,
+    audio tokens/s/chip, and an MFU estimate (weight matmul FLOPs +
+    attention FLOPs vs assumed bf16 peak)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from t5gemma_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from t5gemma_tts_tpu.config import VoiceConfig, backbone_preset
+    from t5gemma_tts_tpu.models import voice
+    from t5gemma_tts_tpu.train import optim
+    from t5gemma_tts_tpu.train import train_step as ts
+
+    if args.preset == "test":
+        preset = "test"
+    else:
+        preset = "2b-2b" if args.train_lora else "b-b"
+    if preset == "test":
+        cfg = VoiceConfig(backbone=backbone_preset("test"),
+                          audio_vocab_size=128, text_vocab_size=512,
+                          dtype="float32", gradient_checkpointing=True)
+    else:
+        cfg = VoiceConfig(backbone=backbone_preset(preset),
+                          gradient_checkpointing=True)
+    ocfg = optim.ScaledAdamConfig()
+
+    # recipe-like token budget: examples/training/t5gemma_2b-2b.sh runs
+    # max_num_tokens=30000 per device with ~10 s clips (512 frames at 50 Hz)
+    nm, pm = 4, 14               # grad-accum micros x rows/micro
+    tx, ty = 64, 512
+    if preset == "test":
+        nm, pm, tx, ty = 2, 2, 8, 16
+    rnp = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rnp.integers(3, cfg.text_vocab_size, (nm, pm, tx)),
+                         jnp.int32),
+        "x_lens": jnp.full((nm, pm), tx, jnp.int32),
+        "y": jnp.asarray(rnp.integers(0, cfg.audio_vocab_size, (nm, pm, ty)),
+                         jnp.int32),
+        "y_lens": jnp.full((nm, pm), ty, jnp.int32),
+        "y_sep_position": jnp.zeros((nm, pm), jnp.int32),
+    }
+    audio_tokens_per_step = nm * pm * ty
+
+    params = jax.jit(lambda k: voice.init_params(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    # ---- FLOPs model for the MFU estimate --------------------------------
+    def matmul_params(tree, skip=("embed",)):
+        total = 0
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            if leaf.ndim >= 2 and not any(s in name for s in skip):
+                total += leaf.size
+        return total
+
+    n_enc = matmul_params(params["encoder"])
+    n_dec = matmul_params(params["decoder"])
+    n_head = params["head"]["w1"].size + params["head"]["w2"].size
+    rows = nm * pm
+    dims_d = cfg.backbone.decoder
+    dims_e = cfg.backbone.encoder
+    # attention score+value matmul FLOPs (fwd), x3 for fwd+bwd
+    attn = (dims_d.num_layers * 4 * ty * ty
+            * dims_d.num_heads * dims_d.head_dim            # decoder self
+            + dims_d.num_layers * 4 * ty * tx
+            * dims_d.num_heads * dims_d.head_dim            # cross
+            + dims_e.num_layers * 4 * tx * tx
+            * dims_e.num_heads * dims_e.head_dim) * rows    # encoder self
+    if args.train_lora:
+        # frozen weights: fwd (2N) + grad-wrt-activations (2N); dW only for
+        # the adapters (negligible) -> factor 4 on the backbone
+        flops = 4 * (n_enc * tx + (n_dec + n_head) * ty) * rows + 3 * attn
+    else:
+        flops = 6 * (n_enc * tx + (n_dec + n_head) * ty) * rows + 3 * attn
+
+    dev = jax.devices()[0]
+    peak = 197e12 if "v5 lite" in str(dev) else 197e12  # v5e bf16 peak
+
+    iters = 6
+    if args.train_lora:
+        from t5gemma_tts_tpu.train import lora as lora_mod
+
+        lcfg = lora_mod.LoraConfig()
+        adapters = lora_mod.init_adapters(jax.random.PRNGKey(1), params, lcfg)
+        step_fn = ts.make_lora_train_step(cfg, ocfg, lcfg)
+        opt_state = ts.opt_init(adapters, ocfg)
+
+        @jax.jit
+        def loop(adapters, opt_state, params, batch):
+            def bodyf(i, carry):
+                ad, opt = carry
+                ad, opt = step_fn(ad, opt, params, batch,
+                                  jnp.float32(1e-4))[:2]
+                return ad, opt
+            return jax.lax.fori_loop(0, iters, bodyf, (adapters, opt_state))
+
+        run_args = (adapters, opt_state, params, batch)
+    else:
+        state = ts.init_state(params, ocfg)
+        step_fn = ts.make_train_step(cfg, ocfg)
+
+        @jax.jit
+        def loop(state, batch):
+            def bodyf(i, st):
+                st, _ = step_fn(st, batch, jnp.float32(1e-4))
+                return st
+            return jax.lax.fori_loop(0, iters, bodyf, state)
+
+        run_args = (state, batch)
+
+    def run(*a):
+        out = loop(*a)
+        jax.block_until_ready(out)
+        # force a tiny host materialization: block_until_ready alone can
+        # return early on the tunneled backend
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:2]
+        return out
+
+    t0 = time.time()
+    run(*run_args)
+    compile_sec = time.time() - t0
+    t0 = time.time()
+    run(*run_args)
+    dt = (time.time() - t0) / iters
+
+    print(json.dumps({
+        "metric": "train_step_throughput",
+        "value": round(audio_tokens_per_step / dt, 1),
+        "unit": "audio_tokens_per_sec_per_chip",
+        "vs_baseline": 0.0,
+        "ms_per_step": round(dt * 1e3, 1),
+        "audio_tokens_per_step": audio_tokens_per_step,
+        "mfu_est": round(flops / dt / peak, 4),
+        "peak_tflops_assumed": peak / 1e12,
+        "preset": preset,
+        "lora": bool(args.train_lora),
+        "optim": "ScaledAdam",
+        "grad_accum": nm,
+        "rows_per_micro": pm,
+        "audio_len": ty,
+        "text_len": tx,
+        "remat": True,
+        "compile_sec": round(compile_sec, 1),
+        "device": str(dev),
+    }))
+
+
 def _orchestrate(args):
     """Full-record flow: three phases, each in its OWN process, strictly
     serialized (never two TPU clients at once — see the comment in main).
@@ -435,6 +615,25 @@ def _orchestrate(args):
         except Exception as exc:  # never sink the headline
             record["rtf_b1_int4"] = None
             record["int4_probe_error"] = str(exc)[:200]
+
+    # D: training throughput (VERDICT r3 next #4) — full fine-tune of the
+    # b-b backbone at recipe-like dims, its own bounded process
+    if not args.skip_train_probe:
+        cmd_d = [sys.executable, __file__, "--train-probe"]
+        try:
+            res = subprocess.run(cmd_d, capture_output=True, text=True,
+                                 env=env, timeout=2700)
+            probe = json.loads(res.stdout.strip().splitlines()[-1])
+            record["train_tokens_per_sec"] = probe["value"]
+            record["train_ms_per_step"] = probe["ms_per_step"]
+            record["train_mfu_est"] = probe["mfu_est"]
+            record["train_config"] = (
+                f"{probe['preset']} full-FT ScaledAdam bf16 remat "
+                f"ga{probe['grad_accum']}x{probe['rows_per_micro']}"
+                f"x{probe['audio_len']}f")
+        except Exception as exc:  # never sink the headline
+            record["train_tokens_per_sec"] = None
+            record["train_probe_error"] = str(exc)[:200]
 
     # C: warm start (a fresh process re-lowers the headline program
     # against the now-populated persistent compile cache)

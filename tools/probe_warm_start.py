@@ -25,7 +25,11 @@ import argparse
 import io
 import json
 import logging
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
