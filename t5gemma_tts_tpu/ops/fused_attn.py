@@ -55,6 +55,45 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def kv_int8_output_error(k, v, n_queries: int = 64, seed: int = 0) -> float:
+    """Calibration check for the ``paged_i8`` serving mode.
+
+    Attention-output relative L2 error of the production per-token int8
+    K/V quantization on a real K/V sample ``[n_tok, head_dim]`` (run a
+    calibration batch through the model and pass one head's K/V here).
+    Real LLM K caches carry fixed per-channel outliers that per-token
+    scaling handles worst (tools/stress_int8_kv.py measures up to ~21%
+    output error at 50x outliers vs ~1% gaussian); serve with
+    kv_cache="paged" (bf16 pages) when this exceeds the documented 0.05
+    threshold. Pure numpy — the kernel's dequant math is pinned to this
+    form by tests/test_megakernel.py::test_megakernel_int8_kv_matches_unfused."""
+    import numpy as np
+
+    k = np.asarray(k, np.float32)
+    v = np.asarray(v, np.float32)
+    hd = k.shape[-1]
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((n_queries, hd)).astype(np.float32)
+
+    def roundtrip(x):
+        amax = np.abs(x).max(axis=-1)
+        s = np.maximum(amax, 1e-8) / 127.0
+        xq = np.clip(np.round(x / s[:, None]), -127, 127).astype(np.int8)
+        return xq.astype(np.float32) * s[:, None]
+
+    def attn(kk, vv):
+        logits = (q @ kk.T) * hd ** -0.5
+        logits -= logits.max(axis=-1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=-1, keepdims=True)
+        return p @ vv
+
+    ref = attn(k, v)
+    got = attn(roundtrip(k), roundtrip(v))
+    return float(np.linalg.norm(got - ref)
+                 / max(np.linalg.norm(ref), 1e-12))
+
+
 def _kernel(
     # scalar prefetch
     plens_s, glens_s, ppi_s, gpi_s,

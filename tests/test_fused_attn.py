@@ -236,3 +236,34 @@ def test_fused_f8_pages():
         attn_logits_soft_cap=50.0, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_kv_int8_output_error_calibration():
+    """kv_int8_output_error (the documented paged_i8 fallback check,
+    VERDICT r3 #7): small on gaussian K/V, large under the per-channel
+    K outliers published LLM KV statistics show (KIVI/KVQuant shape)."""
+    rng = np.random.default_rng(0)
+    nt, hd = 512, 256
+    k = rng.standard_normal((nt, hd)).astype(np.float32)
+    v = rng.standard_normal((nt, hd)).astype(np.float32)
+    e_gauss = fused_attn.kv_int8_output_error(k, v)
+    assert e_gauss < 0.02
+
+    # fixed outlier channels at ~50x with mild per-token amplitude jitter
+    # (the KIVI shape): per-token amax is outlier-dominated, crushing the
+    # other channels' resolution
+    k_out = k.copy()
+    ch = rng.choice(hd, 3, replace=False)
+    amp = 50.0 * (1 + 0.25 * rng.standard_normal((nt, 3)))
+    k_out[:, ch] *= amp.astype(np.float32)
+    e_out = fused_attn.kv_int8_output_error(k_out, v)
+    assert e_out > 0.04
+    assert e_out > 3 * e_gauss
+
+    # the helper's numpy roundtrip IS quantize_kv's math
+    kq, ks = fused_attn.quantize_kv(jnp.asarray(k_out))
+    deq_jax = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    amax = np.abs(k_out).max(axis=-1)
+    s = np.maximum(amax, 1e-8) / 127.0
+    deq_np = np.clip(np.round(k_out / s[:, None]), -127, 127) * s[:, None]
+    np.testing.assert_allclose(deq_jax, deq_np, rtol=1e-5, atol=1e-6)

@@ -11,9 +11,13 @@ Run: python tools/microbench_continuous.py [--slots 8] [--prompt 128]
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
@@ -27,8 +31,9 @@ def main():
     ap.add_argument("--no-int8", dest="int8", action="store_false",
                     help="bf16 decoder weights (default: int8 on)")
     ap.add_argument("--kv", default="auto",
-                    choices=["auto", "dense", "paged"],
-                    help="continuous cache mode (auto = paged on TPU)")
+                    choices=["auto", "dense", "paged", "paged_i8"],
+                    help="continuous cache mode (auto = paged on TPU; "
+                         "paged_i8 = the serving headline config)")
     args = ap.parse_args()
 
     import jax
