@@ -250,7 +250,16 @@ def q_matmul(x: jnp.ndarray, w: Union[jnp.ndarray, QuantWeight]) -> jnp.ndarray:
         return base + upd * jnp.asarray(w.scale, base.dtype)
     if isinstance(w, Lanes4Weight):
         *lead, k = x.shape
-        out = _w4a8_2d_xla(x.reshape(-1, k), w)
+        x2 = x.reshape(-1, k)
+        # decode-step shapes (small M) take the Pallas kernel on TPU: the
+        # XLA fallback MATERIALIZES the decoded int8 weights per call,
+        # erasing the int4 bandwidth win; big-M (prefill/scoring) shapes
+        # stay on XLA where the weight stream amortizes over rows
+        if (w.layout == "l4n" and w.packed.ndim == 3
+                and jax.default_backend() == "tpu" and x2.shape[0] <= 64):
+            out = _w4a8_2d_pallas(x2, w)
+        else:
+            out = _w4a8_2d_xla(x2, w)
         return out[:, : w.n].reshape(*lead, w.n)
     if not isinstance(w, QuantWeight):
         return x @ w
@@ -343,9 +352,16 @@ def quantize_params_for_decode(params, quantize_encoder: bool = False,
         weight_bits = 8
 
     def walk4(path, leaf):
-        # int4 applies only to stacked decoder leaves the megakernel streams
+        # int4 applies to the stacked decoder leaves the megakernel streams
+        # plus the prediction head's big [D, Va] matmul (read every decode
+        # step like the layer weights; served by the standalone
+        # _w4a8_2d_pallas kernel — NEXT_STEPS r3 #3)
         keys = [getattr(k, "key", None) for k in path]
-        if not keys or keys[0] != "decoder" or getattr(leaf, "ndim", 0) != 3:
+        if not keys:
+            return None
+        if keys[0] == "head" and keys[-1] == "w2" and leaf.ndim == 2:
+            return quantize_weight_lanes4(leaf, k_major=False)
+        if keys[0] != "decoder" or getattr(leaf, "ndim", 0) != 3:
             return None
         name = keys[-1]
         if name in _W4_KEYS or (name == "q" and "cross_attn" in keys):
@@ -622,6 +638,72 @@ def dequantize_lanes4(qw: Lanes4Weight) -> jnp.ndarray:
         q = jnp.concatenate([q_lo, q_hi], axis=-1)
         q = q.reshape(*q.shape[:-3], -1, q.shape[-1])
     return (q * qw.scale[..., None, :])[..., : qw.n]
+
+
+def _w4a8_kernel(x_ref, sx_ref, xsum_ref, p_ref, s_ref, o_ref):
+    """One lanes4 (l4n) N-tile: two int8 dots recover the lo/hi nibble
+    halves exactly (the megakernel's AND-mask scheme — see
+    ops/megakernel._lanes4_halves): stored byte = 16*q_hi + (q_lo + 8), so
+    x.q_lo = x.(byte & 15) - 8*sum(x) and x.q_hi = (x.byte - x.(byte & 15))/16."""
+    pk = p_ref[0]                                  # [K, T/2] int8 packed
+    ul = jnp.bitwise_and(pk, jnp.int8(15))
+    dp_ = jax.lax.dot_general(x_ref[:], pk, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    dul = jax.lax.dot_general(x_ref[:], ul, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    lo = dul.astype(jnp.float32) - 8.0 * xsum_ref[:]
+    hi = (dp_ - dul).astype(jnp.float32) * 0.0625
+    acc = jnp.concatenate([lo, hi], axis=1)        # [M, T] natural order
+    o_ref[:] = (acc * sx_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _w4a8_2d_pallas(x: jnp.ndarray, w: Lanes4Weight,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Pallas W4A8 for l4n weights: nibble decode happens INSIDE the dot
+    (two int8 MXU dots per tile), so the int4 stream is never materialized
+    as int8 in HBM — the whole point of int4 for decode-step latency (the
+    XLA fallback below decodes to int8 first, which reads + writes the
+    full-size weights and is strictly slower than int8). Used for the
+    prediction head's [D, Va] matmul at batch-1 (VERDICT r3 next #2 /
+    NEXT_STEPS #3: the head was the last int8 stream, ~151 MB/step)."""
+    m, k = x.shape
+    nt, kw, th = w.packed.shape
+    assert kw == k, (kw, k)
+    t = 2 * th
+    x8, sx = _quantize_act(x)
+    m_pad = -(-m // M_PAD_I8) * M_PAD_I8
+    if m_pad != m:
+        x8 = jnp.pad(x8, ((0, m_pad - m), (0, 0)))
+        sx = jnp.pad(sx, ((0, m_pad - m), (0, 0)))
+    xsum = jnp.sum(x8.astype(jnp.float32), axis=-1, keepdims=True)
+    n_pad = nt * t
+    out = pl.pallas_call(
+        _w4a8_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((m_pad, k), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, th), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, t), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * k * n_pad // 2,
+            bytes_accessed=k * n_pad // 2 + m_pad * k + m_pad * n_pad * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x8, sx, xsum, w.packed, w.scale.reshape(1, n_pad))
+    return out[:m]
 
 
 def _w4a8_2d_xla(x: jnp.ndarray, w: Lanes4Weight) -> jnp.ndarray:

@@ -221,8 +221,12 @@ def test_w4_decode_runs_and_stops():
     assert isinstance(lay["mlp"]["down"], Lanes4Weight)
     assert lay["self_attn"]["qkv"].layout == "l4n"
     assert lay["mlp"]["down"].layout == "l4k"
-    # non-megakernel matmuls stay int8
-    assert isinstance(qparams["head"]["w2"], quant.QuantWeight)
+    # the prediction head's big matmul is lanes4 too (round 4: the last
+    # int8 stream in the b1 step, served by _w4a8_2d_pallas on TPU)
+    assert isinstance(qparams["head"]["w2"], quant.Lanes4Weight)
+    assert qparams["head"]["w2"].layout == "l4n"
+    # other non-megakernel matmuls stay int8
+    assert isinstance(qparams["head"]["w1"], quant.QuantWeight)
 
     rng = np.random.default_rng(0)
     b = 2
@@ -276,3 +280,44 @@ def test_w4_model_ce_perturbation_bounded():
     d8, d4 = drift(p8), drift(p4)
     assert d8 < 0.05, d8            # int8: ~1% weight error barely moves CE
     assert d4 < 0.30, d4            # int4: coarser but bounded, not exploded
+
+
+def test_w4a8_pallas_matches_xla_fallback():
+    """The standalone l4n Pallas kernel (in-dot nibble decode, two int8
+    dots per tile) must reproduce _w4a8_2d_xla's math: identical int32
+    accumulations, f32 rescale (1-ULP-class float differences only)."""
+    from t5gemma_tts_tpu.ops.quant import (
+        _w4a8_2d_pallas, _w4a8_2d_xla, quantize_weight_lanes4,
+    )
+
+    rng = np.random.default_rng(2)
+    for m, k, n in ((1, 128, 300), (5, 256, 640), (33, 128, 512)):
+        x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.1)
+        qw = quantize_weight_lanes4(w, k_major=False)
+        ref = np.asarray(_w4a8_2d_xla(x, qw))
+        got = np.asarray(_w4a8_2d_pallas(x, qw, interpret=True))
+        assert got.shape[0] == m
+        np.testing.assert_allclose(got[:, : qw.n], ref[:, : qw.n],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_w4_head_decode_matches_int8_head_shapes():
+    """w4 params with the lanes4 head decode end-to-end on the tiny
+    config (q_matmul's exact lanes4 dispatch covers the head off-TPU)."""
+    from t5gemma_tts_tpu.models import voice as voice_mod
+    from t5gemma_tts_tpu.models.t5gemma import fuse_for_decode
+
+    cfg = tiny_voice_config()
+    params = voice_mod.init_params(jax.random.PRNGKey(1), cfg)
+    params = fuse_for_decode(params)
+    p4 = quant.quantize_params_for_decode(params, weight_bits=4)
+    h = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 1, cfg.backbone.decoder.hidden_size)).astype(np.float32))
+    logits4 = voice_mod.predict_head(p4["head"], h)
+    assert logits4.shape == (2, 1, cfg.audio_vocab_size + 5)
+    # int4 head logits stay within a bounded band of the bf16 head's
+    p0 = fuse_for_decode(voice_mod.init_params(jax.random.PRNGKey(1), cfg))
+    ref = voice_mod.predict_head(p0["head"], h)
+    rel = float(jnp.linalg.norm(logits4 - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.2, rel
