@@ -472,8 +472,13 @@ def _train_probe(args):
     ocfg = optim.ScaledAdamConfig()
 
     # recipe-like token budget: examples/training/t5gemma_2b-2b.sh runs
-    # max_num_tokens=30000 per device with ~10 s clips (512 frames at 50 Hz)
-    nm, pm = 4, 14               # grad-accum micros x rows/micro
+    # max_num_tokens=30000 per device with ~10 s clips (512 frames at 50 Hz).
+    # 14 micros x 4 rows x 512 frames = 28,672 audio tokens/step; rows/micro
+    # bounds live activation memory — the [rows, 512, 65541] logits block
+    # in the loss/backward is ~0.5 GB/row-4 in f32, and 14- and 8-row
+    # micros both OOMed the 16 GB chip on b-b full-FT (grad-accum micros
+    # are free via lax.scan)
+    nm, pm = 14, 4               # grad-accum micros x rows/micro
     tx, ty = 64, 512
     if preset == "test":
         nm, pm, tx, ty = 2, 2, 8, 16
@@ -524,52 +529,57 @@ def _train_probe(args):
     dev = jax.devices()[0]
     peak = 197e12 if "v5 lite" in str(dev) else 197e12  # v5e bf16 peak
 
+    # host loop over the DONATED jitted step (not lax.fori_loop: carrying
+    # the state through an in-jit loop defeats donation and double-buffers
+    # the f32 master+moments — b-b full-FT OOMed the 16 GB chip that way
+    # at every micro size tried)
     iters = 6
+
+    def sync(tree):
+        # force a tiny host materialization: block_until_ready alone can
+        # return early on the tunneled backend
+        np.asarray(jax.tree_util.tree_leaves(tree)[0]).reshape(-1)[:2]
+
     if args.train_lora:
         from t5gemma_tts_tpu.train import lora as lora_mod
 
         lcfg = lora_mod.LoraConfig()
         adapters = lora_mod.init_adapters(jax.random.PRNGKey(1), params, lcfg)
-        step_fn = ts.make_lora_train_step(cfg, ocfg, lcfg)
+        step = jax.jit(ts.make_lora_train_step(cfg, ocfg, lcfg),
+                       donate_argnums=(0, 1))
         opt_state = ts.opt_init(adapters, ocfg)
+        lr = jnp.float32(1e-4)
 
-        @jax.jit
-        def loop(adapters, opt_state, params, batch):
-            def bodyf(i, carry):
-                ad, opt = carry
-                ad, opt = step_fn(ad, opt, params, batch,
-                                  jnp.float32(1e-4))[:2]
-                return ad, opt
-            return jax.lax.fori_loop(0, iters, bodyf, (adapters, opt_state))
+        def run_steps(n, adapters, opt_state):
+            for _ in range(n):
+                adapters, opt_state = step(adapters, opt_state, params,
+                                           batch, lr)[:2]
+            sync(adapters)
+            return adapters, opt_state
 
-        run_args = (adapters, opt_state, params, batch)
+        t0 = time.time()
+        adapters, opt_state = run_steps(1, adapters, opt_state)
+        compile_sec = time.time() - t0
+        t0 = time.time()
+        run_steps(iters, adapters, opt_state)
+        dt = (time.time() - t0) / iters
     else:
         state = ts.init_state(params, ocfg)
-        step_fn = ts.make_train_step(cfg, ocfg)
+        step = ts.compile_train_step(cfg, ocfg)
+        lr = jnp.float32(1e-4)
 
-        @jax.jit
-        def loop(state, batch):
-            def bodyf(i, st):
-                st, _ = step_fn(st, batch, jnp.float32(1e-4))
-                return st
-            return jax.lax.fori_loop(0, iters, bodyf, state)
+        def run_steps(n, state):
+            for _ in range(n):
+                state, _ = step(state, batch, lr)
+            sync(state.params)
+            return state
 
-        run_args = (state, batch)
-
-    def run(*a):
-        out = loop(*a)
-        jax.block_until_ready(out)
-        # force a tiny host materialization: block_until_ready alone can
-        # return early on the tunneled backend
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:2]
-        return out
-
-    t0 = time.time()
-    run(*run_args)
-    compile_sec = time.time() - t0
-    t0 = time.time()
-    run(*run_args)
-    dt = (time.time() - t0) / iters
+        t0 = time.time()
+        state = run_steps(1, state)
+        compile_sec = time.time() - t0
+        t0 = time.time()
+        run_steps(iters, state)
+        dt = (time.time() - t0) / iters
 
     print(json.dumps({
         "metric": "train_step_throughput",
