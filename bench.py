@@ -687,6 +687,18 @@ def _orchestrate(args):
         except Exception as exc:  # never sink the headline
             record["train_tokens_per_sec"] = None
             record["train_probe_error"] = str(exc)[:200]
+        # flagship LoRA fine-tune (the single-chip recipe path; MFU 0.42)
+        cmd_d2 = cmd_d + ["--train-lora"]
+        try:
+            res = subprocess.run(cmd_d2, capture_output=True, text=True,
+                                 env=env, timeout=2700)
+            probe = json.loads(res.stdout.strip().splitlines()[-1])
+            record["train_lora_tokens_per_sec"] = probe["value"]
+            record["train_lora_ms_per_step"] = probe["ms_per_step"]
+            record["train_lora_mfu_est"] = probe["mfu_est"]
+        except Exception as exc:
+            record["train_lora_tokens_per_sec"] = None
+            record["train_lora_probe_error"] = str(exc)[:200]
 
     # C: warm start (a fresh process re-lowers the headline program
     # against the now-populated persistent compile cache). Two tiers
