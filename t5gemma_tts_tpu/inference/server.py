@@ -46,7 +46,13 @@ class ContinuousServer:
 
     Fixed shape contract: text/prompt/generation buckets are set at
     construction; a request that does not fit gets its future failed (route
-    oversized traffic to a BatchingServer or a second instance)."""
+    oversized traffic to a BatchingServer or a second instance).
+
+    Validated up to 128 slots on one v5e chip (127x realtime aggregate,
+    paged_i8): admission compiles as two chained programs — the shared
+    batch-1 prefill, then a scatter-only install (decode/continuous.py
+    install_row) — because the fused prefill+scatter program failed
+    terminal compile at 128 slots."""
 
     def __init__(
         self,

@@ -182,9 +182,9 @@ def main():
                     hout, k_new, v_new = mk.decode_layer(
                         params["decoder"]["layers"], dims, h=carry,
                         cos=cos1, sin=sin1, qcos=cos1, qsin=sin1, li=li,
-                        plens=(st.prompt_lens + 1).astype(jnp.int32),
+                        plens=prompt_lens + 1,
                         glens=jnp.ones((1,), jnp.int32) * 8,
-                        elens=st.x_lens.astype(jnp.int32),
+                        elens=x_lens,
                         prompt_k=cache.prompt_k, prompt_v=cache.prompt_v,
                         gen_k=cache.gen_k, gen_v=cache.gen_v,
                         cross_k=cache.cross_k, cross_v=cache.cross_v)
@@ -208,8 +208,8 @@ def main():
                         params["decoder"], dims, inputs_embeds=emb0,
                         position_ids=pos, pm_decoder_positions=pos,
                         cache=c, step=jnp.int32(8) + i * 0,
-                        prompt_lengths=st.prompt_lens + 1,
-                        enc_lengths=st.x_lens)
+                        prompt_lengths=prompt_lens + 1,
+                        enc_lengths=x_lens)
                     return c
                 c = jax.lax.fori_loop(0, iters, body, cache)
                 return (jnp.sum(c.pending_k.astype(jnp.float32))
