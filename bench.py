@@ -266,6 +266,18 @@ def main():
         wav = voc(cparams, out.tokens % ccfg.fsq.codebook_size)
         force(wav)
 
+    # second (steady-state) warmup: the first run after compile is
+    # consistently ~20% slower on the tunneled backend (captured
+    # rtf_runs like [123.6, 159.4, 159.4]; the 10-s block later in the
+    # same process times tight) — one more untimed run so the timed
+    # mean reflects steady state
+    out = run(params, x, x_lens, prompt, prompt_lens, targets,
+              jax.random.fold_in(key, 99))
+    if not args.skip_vocoder:
+        force(voc(cparams, out.tokens % ccfg.fsq.codebook_size))
+    else:
+        force(out.tokens)
+
     # timed runs — per-run RTFs go on the record too: the tunneled
     # backend's run-to-run swing is real (rtf_10s drifted 121 -> 146
     # between round-3 captures, VERDICT r3 weak #2) and a single
