@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -868,10 +870,14 @@ def paged_decode_step(
                           gks, gvs,
                           cache.cross_k_scale, cache.cross_v_scale)
 
-        def body3(carry, li):
-            hout, k_new, v_new = mk.decode_layer(
-                params["layers"], dims, h=carry, cos=cos1, sin=sin1,
-                qcos=qc1, qsin=qs1, li=li,
+        if os.environ.get("T5G_MK_STACKED") == "1":
+            # ONE launch for the whole stack: the layer loop is the pallas
+            # grid, h carries in the revisited hout block (same math as
+            # the scan below — pinned bit-level by
+            # tests/test_megakernel.py::test_stacked_matches_scan)
+            h3, k_new, v_new = mk.decode_stack(
+                params["layers"], dims, h=h[:, 0].astype(jnp.float32),
+                cos=cos1, sin=sin1, qcos=qc1, qsin=qs1,
                 plens=prompt_lengths.astype(jnp.int32), glens=gen_lengths,
                 elens=enc_lengths.astype(jnp.int32),
                 prompt_k=cache.prompt_k, prompt_v=cache.prompt_v,
@@ -879,10 +885,24 @@ def paged_decode_step(
                 cross_k=cache.cross_k, cross_v=cache.cross_v,
                 kv_scales=kv_scales3,
                 interpret=interp3)
-            return hout, (k_new, v_new)
+        else:
+            def body3(carry, li):
+                hout, k_new, v_new = mk.decode_layer(
+                    params["layers"], dims, h=carry, cos=cos1, sin=sin1,
+                    qcos=qc1, qsin=qs1, li=li,
+                    plens=prompt_lengths.astype(jnp.int32),
+                    glens=gen_lengths,
+                    elens=enc_lengths.astype(jnp.int32),
+                    prompt_k=cache.prompt_k, prompt_v=cache.prompt_v,
+                    gen_k=gk, gen_v=gv,
+                    cross_k=cache.cross_k, cross_v=cache.cross_v,
+                    kv_scales=kv_scales3,
+                    interpret=interp3)
+                return hout, (k_new, v_new)
 
-        h3, (k_new, v_new) = jax.lax.scan(
-            body3, h[:, 0].astype(jnp.float32), layer_ids, unroll=unroll)
+            h3, (k_new, v_new) = jax.lax.scan(
+                body3, h[:, 0].astype(jnp.float32), layer_ids,
+                unroll=unroll)
         h3 = rms_norm(h3, params["final_norm"], dims.rms_norm_eps)
         return h3[:, None, :].astype(h.dtype), cache._replace(
             gen_k=gk, gen_v=gv, gen_k_scale=gks, gen_v_scale=gvs,

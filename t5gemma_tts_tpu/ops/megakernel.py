@@ -165,6 +165,10 @@ def _kernel(
     kv_quant: bool = False,   # int8 pages + per-token scale planes
     phases: tuple = ("self", "cross", "mlp"),  # compile-time phase mask
     w4: bool = False,         # lanes4 int4 weights (ops/quant.Lanes4Weight)
+    layer_from_grid: bool = False,  # stacked mode: ONE pallas_call runs all
+                              # layers as a sequential grid; the layer id is
+                              # the grid index and h carries across steps in
+                              # the revisited hout block (li_s is ignored)
 ):
     d = hidden
     hd = head_dim
@@ -172,7 +176,7 @@ def _kernel(
     g = heads // kv_heads
     ho = meta.ho
     kvh = hkv * hd
-    li = li_s[0]
+    li = pl.program_id(0) if layer_from_grid else li_s[0]
     bp = h_ref.shape[0]
     # w4 packed tiles carry HALF the bytes, which drops the per-chunk wire
     # time below the ~2.4 us scalar-core DMA start cost and turns the
@@ -672,7 +676,18 @@ def _kernel(
         return h32 + _rms(acc_buf[:, pl.ds(0, d)], n3, eps)
 
     # ======================= phase 3: GeGLU MLP ==========================
-    h32 = h_ref[...].astype(jnp.float32)
+    if layer_from_grid:
+        # h carries layer -> layer in the REVISITED hout block (constant
+        # index map => the block stays in VMEM across sequential grid
+        # steps and flushes once at the end); step 0 seeds it from the
+        # true input
+        @pl.when(li == 0)
+        def _seed_h():
+            hout_ref[...] = h_ref[...]
+
+        h32 = hout_ref[...].astype(jnp.float32)
+    else:
+        h32 = h_ref[...].astype(jnp.float32)
     if "self" in phases:
         h32 = phase_self(h32)
     else:
@@ -910,12 +925,12 @@ def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("dims_key", "true_batch", "eps", "soft_cap", "q_scale",
-                     "interpret", "phases", "w4"),
+                     "interpret", "phases", "w4", "stacked"),
 )
 def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
           li, plens, glens, elens, kv_scales=None, *, dims_key, true_batch,
           eps, soft_cap, q_scale, interpret,
-          phases=("self", "cross", "mlp"), w4=False):
+          phases=("self", "cross", "mlp"), w4=False, stacked=False):
     (bp, d, heads, hkv, hd) = dims_key
     qkvw, ow, cqw, cow, guw, dnw = weights
     pk, pv, gk, gv, xk, xv = slabs
@@ -975,44 +990,75 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
     kernel = functools.partial(
         _kernel, meta=meta, true_batch=true_batch, hidden=d, heads=heads,
         kv_heads=hkv, head_dim=hd, eps=eps, soft_cap=soft_cap,
-        q_scale=q_scale, kv_quant=kv_quant, phases=phases, w4=w4)
+        q_scale=q_scale, kv_quant=kv_quant, phases=phases, w4=w4,
+        layer_from_grid=stacked)
 
-    n_layers = qkvw.shape[0]
+    n_layers = norms[0].shape[0]   # [L, d] tables (weights are flattened
+                                   # tile-major by now, so their dim 0 is
+                                   # L * tiles, not L)
 
     def full(*shape):
         return pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    # slice this layer's norm/scale rows in XLA (cheap fused gathers);
-    # the kernel then reads [1, n] blocks statically
-    li32 = li.astype(jnp.int32)
-    norms = tuple(jax.lax.dynamic_slice_in_dim(t, li32, 1, 0)
-                  for t in norms)
-    scales = tuple(jax.lax.dynamic_slice_in_dim(t, li32, 1, 0)
-                   for t in scales)
+    if stacked:
+        # ONE pallas_call runs all layers as a sequential grid: the
+        # per-layer norm/scale rows stay as full tables and the pipeline
+        # fetches row l at grid step l; the per-layer k/v outputs get a
+        # squeezed leading L block. The h carry lives in the revisited
+        # hout block (constant index map). Tables reshape to [L, 1, n]
+        # with a squeezed (None, 1, n) block because Mosaic requires the
+        # last two BLOCK dims to equal the array dims (a (1, n) block
+        # over [L, n] is rejected); the kernel still sees [1, n] refs.
+        def per_l(n):
+            return pl.BlockSpec((None, 1, n), lambda l, *_: (l, 0, 0))
+
+        norms = tuple(t.reshape(t.shape[0], 1, t.shape[-1]) for t in norms)
+        scales = tuple(t.reshape(t.shape[0], 1, t.shape[-1])
+                       for t in scales)
+        norm_specs = [per_l(d) for _ in range(6)]
+        scale_specs = [per_l(t.shape[-1]) for t in scales]
+        out_specs = [
+            full(bp, d),
+            pl.BlockSpec((None, hkv, bp, hd), lambda l, *_: (l, 0, 0, 0)),
+            pl.BlockSpec((None, hkv, bp, hd), lambda l, *_: (l, 0, 0, 0)),
+            pl.BlockSpec((None, bp, hkv * hd), lambda l, *_: (l, 0, 0)),
+            pl.BlockSpec((None, bp, hkv * hd), lambda l, *_: (l, 0, 0)),
+        ]
+        grid = (n_layers,)
+    else:
+        # slice this layer's norm/scale rows in XLA (cheap fused gathers);
+        # the kernel then reads [1, n] blocks statically
+        li32 = li.astype(jnp.int32)
+        norms = tuple(jax.lax.dynamic_slice_in_dim(t, li32, 1, 0)
+                      for t in norms)
+        scales = tuple(jax.lax.dynamic_slice_in_dim(t, li32, 1, 0)
+                       for t in scales)
+        norm_specs = [full(1, d) for _ in range(6)]
+        # scale widths come from the scale tables themselves (the
+        # tiled weight shapes no longer carry the padded width)
+        scale_specs = [full(1, t.shape[-1]) for t in scales]
+        out_specs = [
+            full(bp, d),
+            full(hkv, bp, hd), full(hkv, bp, hd),
+            full(bp, hkv * hd), full(bp, hkv * hd),
+        ]
+        grid = (1,)
     n0, n1, n2, n3, n4, n5 = norms
     qkvs, os_, cqs, cos_s, gus, dns = scales
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(1,),
+        grid=grid,
         in_specs=[
             full(bp, d),
             full(bp, hd), full(bp, hd),
             full(bp, hd), full(bp, hd),
-            *[full(1, d) for _ in range(6)],
-            # scale widths come from the scale tables themselves (the
-            # tiled weight shapes no longer carry the padded width)
-            full(1, qkvs.shape[-1]), full(1, os_.shape[-1]),
-            full(1, cqs.shape[-1]), full(1, cos_s.shape[-1]),
-            full(1, gus.shape[-1]), full(1, dns.shape[-1]),
+            *norm_specs,
+            *scale_specs,
             *[any_spec] * 18,
         ],
-        out_specs=[
-            full(bp, d),
-            full(hkv, bp, hd), full(hkv, bp, hd),
-            full(bp, hkv * hd), full(bp, hkv * hd),
-        ],
+        out_specs=out_specs,
         scratch_shapes=(
             # w4 halves the per-tile bytes but DOUBLES tiles-per-DMA (the
             # kernel's `chunk`), so buffer bytes match the int8 variant
@@ -1060,16 +1106,26 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
         ),
     )
 
-    hout, _, _, knew2, vnew2 = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
+    if stacked:
+        out_shape = [
+            jax.ShapeDtypeStruct((bp, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, hkv, bp, hd), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, hkv, bp, hd), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, bp, hkv * hd), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, bp, hkv * hd), jnp.float32),
+        ]
+    else:
+        out_shape = [
             jax.ShapeDtypeStruct((bp, d), jnp.float32),
             jax.ShapeDtypeStruct((hkv, bp, hd), jnp.float32),
             jax.ShapeDtypeStruct((hkv, bp, hd), jnp.float32),
             jax.ShapeDtypeStruct((bp, hkv * hd), jnp.float32),
             jax.ShapeDtypeStruct((bp, hkv * hd), jnp.float32),
-        ],
+        ]
+    hout, _, _, knew2, vnew2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # chunked double-buffered weight streams put ~18 MB of scratch
@@ -1156,3 +1212,64 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
     hkv, hd = dims.num_kv_heads, dims.head_dim
     return (hout[:b], knew2[:b].reshape(b, hkv, hd),
             vnew2[:b].reshape(b, hkv, hd))
+
+
+def decode_stack(params_layers, dims, *, h, cos, sin, qcos, qsin,
+                 plens, glens, elens, prompt_k, prompt_v,
+                 gen_k, gen_v, cross_k, cross_v,
+                 kv_scales=None,
+                 interpret: bool = False,
+                 phases: tuple = ("self", "cross", "mlp")):
+    """Run ALL decoder layers through ONE megakernel launch (round 4).
+
+    Same math as scanning :func:`decode_layer` over layers, but the layer
+    loop is the pallas grid: grid step l IS layer l, the hidden state
+    carries across steps in the revisited hout VMEM block, and the
+    per-layer norm/scale rows stream in as pipelined [1, n] blocks. This
+    removes 25 of the 26 kernel launches per decode step (the batch-1
+    step is launch- and MXU-occupancy-sensitive — DESIGN "Batch-1 floor
+    analysis"). Opt in per call; `T5G_MK_STACKED=1` flips the engine's
+    paged decode step (models/t5gemma.py).
+
+    Returns (h_out [B, D] f32, k_new [L, B, Hkv, hd] f32,
+    v_new [L, B, Hkv, hd] f32) — the same stacked shapes the
+    decode_layer scan produces.
+    """
+    from .quant import Lanes4Weight
+
+    sa = params_layers["self_attn"]
+    ca = params_layers["cross_attn"]
+    mlp_p = params_layers["mlp"]
+
+    norms = tuple(params_layers[n].astype(jnp.float32) for n in (
+        "pre_self_attn_norm", "post_self_attn_norm",
+        "pre_cross_attn_norm", "post_cross_attn_norm",
+        "pre_ff_norm", "post_ff_norm"))
+    wleaves = (sa["qkv"], sa["o"], ca["q"], ca["o"], mlp_p["gate_up"],
+               mlp_p["down"])
+    w4 = isinstance(sa["qkv"], Lanes4Weight)
+    scales = tuple(w.scale.astype(jnp.float32) for w in wleaves)
+    weights = tuple(w.packed if w4 else w.values for w in wleaves)
+    slabs = (prompt_k, prompt_v, gen_k, gen_v, cross_k, cross_v)
+
+    b = h.shape[0]
+    bp = b if b % 32 == 0 else -(-b // 32) * 32
+    if jax.default_backend() != "tpu":
+        bp = b
+    dims_key = (bp, dims.hidden_size, dims.num_heads, dims.num_kv_heads,
+                dims.head_dim)
+    hout, knew2, vnew2 = _call(
+        _pad_rows(h, bp), _pad_rows(cos, bp), _pad_rows(sin, bp),
+        _pad_rows(qcos, bp), _pad_rows(qsin, bp),
+        norms, scales, weights, slabs,
+        jnp.asarray(0), _pad_rows(plens, bp), _pad_rows(glens, bp),
+        _pad_rows(elens, bp), kv_scales,
+        dims_key=dims_key, true_batch=b, eps=dims.rms_norm_eps,
+        soft_cap=dims.attn_logit_softcap,
+        q_scale=float(dims.q_scale), interpret=interpret, phases=phases,
+        w4=w4, stacked=True)
+    hkv, hd = dims.num_kv_heads, dims.head_dim
+    n_layers = norms[0].shape[0]
+    return (hout[:b],
+            knew2[:, :b].reshape(n_layers, b, hkv, hd),
+            vnew2[:, :b].reshape(n_layers, b, hkv, hd))

@@ -349,3 +349,68 @@ def test_megakernel_w4_with_int8_kv():
     assert np.isfinite(np.asarray(h3, np.float32)).all()
     assert _rel(h3, h0) < 5e-2
     assert _rel(c3.pending_k, c0.pending_k) < 2e-2
+
+
+def _run_stacked(dec, dims, cache, emb, pos, plens, elens, step):
+    os.environ["T5G_FUSED_ATTN"] = "3"
+    os.environ["T5G_MK_STACKED"] = "1"
+    try:
+        return t5gemma.paged_decode_step(
+            dec, dims, inputs_embeds=emb, position_ids=pos,
+            pm_decoder_positions=pos, cache=cache, step=step,
+            prompt_lengths=plens, enc_lengths=elens)
+    finally:
+        os.environ.pop("T5G_FUSED_ATTN", None)
+        os.environ.pop("T5G_MK_STACKED", None)
+
+
+def test_stacked_matches_scan():
+    """decode_stack (whole stack in ONE pallas grid, h carried in the
+    revisited hout block) is the SAME math as scanning decode_layer:
+    outputs must agree bit-level in interpreter mode."""
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup()
+    h3, c3 = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+    hs, cs = _run_stacked(dec, dims, cache, emb, pos, plens, elens, step)
+    np.testing.assert_array_equal(np.asarray(hs, np.float32),
+                                  np.asarray(h3, np.float32))
+    np.testing.assert_array_equal(np.asarray(cs.pending_k, np.float32),
+                                  np.asarray(c3.pending_k, np.float32))
+    np.testing.assert_array_equal(np.asarray(cs.pending_v, np.float32),
+                                  np.asarray(c3.pending_v, np.float32))
+    np.testing.assert_array_equal(np.asarray(cs.gen_k), np.asarray(c3.gen_k))
+
+
+def test_stacked_matches_scan_int8_kv():
+    """Stacked mode over int8 pages + staged per-token scale slabs."""
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup_i8()
+    h3, c3 = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+    hs, cs = _run_stacked(dec, dims, cache, emb, pos, plens, elens, step)
+    np.testing.assert_array_equal(np.asarray(hs, np.float32),
+                                  np.asarray(h3, np.float32))
+    np.testing.assert_array_equal(np.asarray(cs.pending_k, np.float32),
+                                  np.asarray(c3.pending_k, np.float32))
+
+
+def test_stacked_multistep_chain():
+    """Three chained stacked steps track the scan path exactly."""
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup()
+    c3 = cs = cache
+    h3 = hs = None
+    for i in range(3):
+        h3, c3 = _run(3, dec, dims, c3, emb, pos, plens, elens, step + i)
+        hs, cs = _run_stacked(dec, dims, cs, emb, pos, plens, elens,
+                              step + i)
+    np.testing.assert_array_equal(np.asarray(hs, np.float32),
+                                  np.asarray(h3, np.float32))
+    np.testing.assert_array_equal(np.asarray(cs.gen_k), np.asarray(c3.gen_k))
+
+
+def test_stacked_matches_scan_w4():
+    """Stacked mode with lanes4 int4 weights (the b1 latency config)."""
+    cfg, dims, dec, cache, emb, pos, plens, elens, step = _setup_w4()
+    h3, c3 = _run(3, dec, dims, cache, emb, pos, plens, elens, step)
+    hs, cs = _run_stacked(dec, dims, cache, emb, pos, plens, elens, step)
+    np.testing.assert_array_equal(np.asarray(hs, np.float32),
+                                  np.asarray(h3, np.float32))
+    np.testing.assert_array_equal(np.asarray(cs.pending_k, np.float32),
+                                  np.asarray(c3.pending_k, np.float32))
