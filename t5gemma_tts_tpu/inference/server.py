@@ -48,11 +48,11 @@ class ContinuousServer:
     construction; a request that does not fit gets its future failed (route
     oversized traffic to a BatchingServer or a second instance).
 
-    Validated up to 128 slots on one v5e chip (127x realtime aggregate,
-    paged_i8): admission compiles as two chained programs — the shared
-    batch-1 prefill, then a scatter-only install (decode/continuous.py
-    install_row) — because the fused prefill+scatter program failed
-    terminal compile at 128 slots."""
+    Validated up to 192 slots on one v5e chip (135.9x realtime aggregate
+    at 192, 127.0x at 128, paged_i8 — docs/DESIGN.md): admission compiles
+    as two chained programs — the shared batch-1 prefill, then a
+    scatter-only install (decode/continuous.py install_row) — because the
+    fused prefill+scatter program failed terminal compile at 128 slots."""
 
     def __init__(
         self,

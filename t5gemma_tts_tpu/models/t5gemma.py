@@ -870,7 +870,16 @@ def paged_decode_step(
                           gks, gvs,
                           cache.cross_k_scale, cache.cross_v_scale)
 
-        if os.environ.get("T5G_MK_STACKED") == "1":
+        stacked = os.environ.get("T5G_MK_STACKED")
+        if stacked is None:
+            # default ON on real TPU: bit-equal to the scan on-chip at
+            # b1/int4 AND at the b128/int8-KV serving shape
+            # (tools/probe_stacked_serving.py), and never slower — the
+            # scan pays ~0.3 ms/step of launch overhead at batch 1.
+            # Interpreter (CPU suite) keeps the scan default; the stacked
+            # grid is exercised there by tests/test_megakernel.py.
+            stacked = "1" if jax.default_backend() == "tpu" else "0"
+        if stacked == "1":
             # ONE launch for the whole stack: the layer loop is the pallas
             # grid, h carries in the revisited hout block (same math as
             # the scan below — pinned bit-level by
