@@ -56,6 +56,10 @@ def _setup(b=2, step=5, seed=0):
 
 def _run(mode, dec, dims, cache, emb, pos, plens, elens, step):
     os.environ["T5G_FUSED_ATTN"] = str(mode)
+    # explicit 0, not unset: on a real-TPU suite run the unset default is
+    # stacked (t5gemma.py paged_decode_step), which would make the
+    # stacked-vs-scan tests compare stacked against itself (ADVICE r4)
+    os.environ["T5G_MK_STACKED"] = "0"
     try:
         return t5gemma.paged_decode_step(
             dec, dims, inputs_embeds=emb, position_ids=pos,
@@ -63,6 +67,7 @@ def _run(mode, dec, dims, cache, emb, pos, plens, elens, step):
             prompt_lengths=plens, enc_lengths=elens)
     finally:
         os.environ.pop("T5G_FUSED_ATTN", None)
+        os.environ.pop("T5G_MK_STACKED", None)
 
 
 def _rel(a, b):

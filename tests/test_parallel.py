@@ -170,58 +170,29 @@ def test_shard_batch_process_local_assembly_matches_device_put():
 
 
 def test_zero1_save_restore_roundtrip(tmp_path):
-    """ZeRO-1 end-to-end on a dp>=2 mesh: run steps with dp-sharded moments
-    (pinned in-program by opt_state_shardings), save a bundle DURING async
-    stepping (the round-2 deadlock mode), restore, and continue — values
-    identical to an uninterrupted run. VERDICT r2 next-round #4."""
-    from t5gemma_tts_tpu.train import checkpoint as ckpt
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """ZeRO-1 end-to-end on a dp>=2 mesh: save DURING async stepping,
+    restore, continue — values identical to an uninterrupted run (VERDICT
+    r2 next-round #4). Runs in a SUBPROCESS with the persistent compile
+    cache disabled: in a warm-cache xdist worker this scenario hard-aborts
+    inside native XLA:CPU around the fresh compile + cache write of the big
+    dp4xtp2 train_step executable (upstream jax-0.9 race; full trigger
+    matrix and evidence in tests/zero1_roundtrip_worker.py)."""
+    import subprocess
+    import sys
+    import os
 
-    cfg = tiny_voice_config()
-    ocfg = optim.ScaledAdamConfig(clipping_scale=None)
-    params = voice.init_params(jax.random.PRNGKey(0), cfg)
-    mesh = parallel.make_mesh(dp=4, tp=2)
-    sp = parallel.shard_params(params, mesh)
-    lr = jnp.float32(0.01)
-
-    opt_sh = parallel.opt_state_shardings(
-        train_step.init_state(sp, ocfg).opt, sp, mesh)
-    step = train_step.compile_train_step(cfg, ocfg, donate=False,
-                                         opt_shardings=opt_sh)
-
-    def uses_data_axis(spec):
-        flat = []
-        for e in tuple(spec):
-            flat.extend(e if isinstance(e, tuple) else (e,))
-        return parallel.mesh.DATA_AXIS in flat
-
-    s = train_step.init_state(sp, ocfg)
-    s = s._replace(opt=parallel.shard_opt_state(s.opt, sp, mesh))
-    for i in range(2):
-        s, _ = step(s, _batch(cfg, seed=i), lr)
-    # save while step 2's program may still be in flight (no sync before)
-    ckpt.save_bundle(str(tmp_path), s, {"step": 2})
-
-    # moments are STILL dp-sharded after jitted steps (the in-program pin;
-    # advisor r2 finding #1)
-    sharded = [x for x in jax.tree_util.tree_leaves(s.opt.exp_avg_sq)
-               if x.ndim and uses_data_axis(x.sharding.spec)]
-    assert sharded, "ZeRO-1 moment sharding was lost across jitted steps"
-
-    s_after, _ = step(s, _batch(cfg, seed=2), lr)
-
-    template = train_step.init_state(sp, ocfg)
-    restored, progress = ckpt.restore_bundle(str(tmp_path), template)
-    assert progress["step"] == 2
-    restored = restored._replace(
-        params=parallel.shard_params(restored.params, mesh),
-        opt=parallel.shard_opt_state(restored.opt, restored.params, mesh))
-    r_after, _ = step(restored, _batch(cfg, seed=2), lr)
-
-    for a, b in zip(jax.tree_util.tree_leaves(s_after.params),
-                    jax.tree_util.tree_leaves(r_after.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+    worker = os.path.join(os.path.dirname(__file__),
+                          "zero1_roundtrip_worker.py")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, worker, str(tmp_path)],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert proc.returncode == 0, (
+        f"zero1 roundtrip worker failed (rc={proc.returncode})\n"
+        f"stdout:\n{proc.stdout[-4000:]}\nstderr:\n{proc.stderr[-4000:]}")
+    assert "zero1 roundtrip OK" in proc.stdout
 
 
 # ---------------------------------------------------------------------------

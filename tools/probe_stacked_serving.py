@@ -142,7 +142,10 @@ def main():
 
     # ---- bit-equality: scan vs stacked, same inputs --------------------
     if not args.timing_only:
-        os.environ.pop("T5G_MK_STACKED", None)
+        # explicit "0": unset now defaults to stacked on TPU
+        # (t5gemma.py paged_decode_step), which would make this probe
+        # compare stacked against itself (ADVICE r4)
+        os.environ["T5G_MK_STACKED"] = "0"
         h_scan, c_scan = jax.jit(one_step)(params, emb, cache)
         jax.block_until_ready(h_scan)
         os.environ["T5G_MK_STACKED"] = "1"
@@ -180,7 +183,7 @@ def main():
             return jax.lax.fori_loop(0, iters, body, (emb, cache))
         return loop
 
-    os.environ.pop("T5G_MK_STACKED", None)
+    os.environ["T5G_MK_STACKED"] = "0"  # explicit: unset means stacked on TPU
     t_scan = marginal(make_step, params, emb, cache, iters=args.iters)
     print(f"scan   (26 launches): {t_scan*1e3:.3f} ms/step")
     os.environ["T5G_MK_STACKED"] = "1"
