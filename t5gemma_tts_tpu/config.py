@@ -191,6 +191,11 @@ class VoiceConfig:
     # rematerialize layers in backward (reference --t5_gradient_checkpointing,
     # config.py:84); training-path only, decode paths ignore it
     gradient_checkpointing: bool = False
+    # training CE in vocab blocks of this many columns, never materializing
+    # the [B, T, 65541] logits tensor (ops/chunked_ce.py); 0 = dense path.
+    # Only engages when the vocab exceeds the chunk, so tiny test configs
+    # keep the dense path unless they opt in.
+    ce_vocab_chunk: int = 8192
 
     def __post_init__(self):
         if self.n_codebooks != 1:

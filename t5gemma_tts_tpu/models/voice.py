@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import VoiceConfig
+from ..ops import chunked_ce
 from ..ops import masks as mask_ops
 from ..ops import rope as rope_ops
 from . import t5gemma
@@ -178,6 +179,13 @@ def forward(
         cross_k=cross_k, cross_v=cross_v,
         remat=cfg.gradient_checkpointing,
     )
+    if 0 < cfg.ce_vocab_chunk < cfg.audio_embedding_vocab:
+        # chunked-vocab CE: never materializes the [B, T+1, Va] logits
+        # (the full-FT activation wall at Va = 65541; ops/chunked_ce.py)
+        nll, hit = chunked_ce.head_nll_top10(
+            cfg.ce_vocab_chunk, params["head"], hidden, targets)
+        return loss_from_nll(cfg, nll, hit, targets, new_y_lens,
+                             batch.get("y_sep_position"))
     logits = predict_head(params["head"], hidden)  # [B, T+1, Va]
     return token_loss(cfg, logits, targets, new_y_lens,
                       batch.get("y_sep_position"))
@@ -207,7 +215,31 @@ def token_loss(
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, :, None], axis=-1)[..., 0]
+    top10 = jax.lax.top_k(logits.astype(jnp.float32), min(10, va))[1]
+    hit = jnp.any(top10 == targets[:, :, None], axis=-1)
+    return _assemble_outputs(cfg, nll, hit, targets, counted)
 
+
+def loss_from_nll(
+    cfg: VoiceConfig,
+    nll: jnp.ndarray,          # [B, T] f32 per-token -log p(target)
+    top10_hit: jnp.ndarray,    # [B, T] bool
+    targets: jnp.ndarray,      # [B, T]
+    new_y_lens: jnp.ndarray,   # [B]
+    sep_positions: Optional[jnp.ndarray],  # [B] or None
+) -> VoiceOutputs:
+    """token_loss aggregation from per-token nll/top10 (the chunked-CE path;
+    same masking/weighting semantics, reference models/t5gemma.py:758-825)."""
+    t = targets.shape[1]
+    pos = jnp.arange(t)[None, :]
+    counted = pos < new_y_lens[:, None]
+    if cfg.no_loss_on_prefix and sep_positions is not None:
+        counted = counted & (pos >= sep_positions[:, None])
+    return _assemble_outputs(cfg, nll, top10_hit, targets, counted)
+
+
+def _assemble_outputs(cfg, nll, hit, targets, counted) -> VoiceOutputs:
+    s = cfg.special
     ce_mask = counted & (targets != s.y_sep)
     if cfg.eog_weight != 1.0:
         w = jnp.where(targets == s.eog, cfg.eog_weight, 1.0)
@@ -219,9 +251,7 @@ def token_loss(
 
     ntokens = counted.sum()
     loss = mean_ce * ntokens.astype(jnp.float32)
-
-    top10 = jax.lax.top_k(logits.astype(jnp.float32), min(10, va))[1]
-    correct = jnp.any(top10 == targets[:, :, None], axis=-1) & counted
+    correct = hit & counted
     return VoiceOutputs(
         loss=loss,
         mean_ce=mean_ce,

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_loss_on_prefix", type=int, default=0)
     p.add_argument("--t5_gradient_checkpointing", type=int, default=0)
     p.add_argument("--x_sep_token", type=int, default=255999)
+    p.add_argument("--ce_vocab_chunk", type=int, default=8192,
+                   help="training CE in vocab blocks of this many columns "
+                        "(never materializes the [B,T,V] logits; "
+                        "ops/chunked_ce.py); 0 = dense loss path")
     p.add_argument("--text_tokenizer_name", default="google/t5gemma-2b-2b-ul2")
     # data (reference config.py:118-132, 177-184)
     p.add_argument("--max_num_tokens", type=int, default=18750)
@@ -153,6 +157,7 @@ def main(argv: Optional[list] = None):
         x_sep_token=args.x_sep_token,
         dtype=args.precision,
         gradient_checkpointing=bool(args.t5_gradient_checkpointing),
+        ce_vocab_chunk=args.ce_vocab_chunk,
     )
     ckpt.save_config(args.exp_dir, cfg)
 
