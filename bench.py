@@ -315,9 +315,14 @@ def main():
         # sampled path's acceptance is destroyed by bf16 T=1-vs-T=5 logit
         # noise (any boundary flip breaks a match), while greedy argmax is
         # stable under it; trained models are peaked and sample fine
-        dense_dcfg = dataclasses.replace(dcfg, kv_cache="dense", top_k=1,
-                                         temperature=1.0, top_p=1.0)
-        run1 = engine.jitted_decoder(cfg, dense_dcfg)
+        # kv "auto": paged on TPU (quantized weights -> the verify pass
+        # runs through the megakernel CHAIN, VERDICT r4 next #4 — one
+        # launch per pass instead of the unfused two-kernel chain), dense
+        # off-TPU. The sequential baseline runs the SAME kv mode, so the
+        # speedup compares like against like (mk step vs mk chain).
+        spec_dcfg = dataclasses.replace(dcfg, kv_cache="auto", top_k=1,
+                                        temperature=1.0, top_p=1.0)
+        run1 = engine.jitted_decoder(cfg, spec_dcfg)
         out1 = run1(params, *b1, key)
         force(out1.tokens)
         t0 = time.time()
@@ -330,14 +335,15 @@ def main():
         bad = (trace + 1) % cfg.audio_vocab_size
         draft = speculative.trace_draft_fn(
             jnp.asarray(np.where(corrupt, bad, trace)), args.spec)
-        srun = speculative.jitted_speculative_decoder(cfg, dense_dcfg, args.spec)
+        srun = speculative.jitted_speculative_decoder(cfg, spec_dcfg,
+                                                      args.spec)
         out_s = srun(params, *b1, jax.random.fold_in(key, 7), draft)
         force(out_s.tokens)  # compile
         t0 = time.time()
         out_s = srun(params, *b1, jax.random.fold_in(key, 7), draft)
         force(out_s.tokens)
         spec_time = time.time() - t0
-        match = bool(np.array_equal(np.asarray(out_s.tokens), trace))
+        agree = float((np.asarray(out_s.tokens) == trace).mean())
         print(json.dumps({
             "metric": "speculative_speedup_b1",
             "value": round(seq_time / spec_time, 3),
@@ -346,7 +352,8 @@ def main():
             "spec_k": args.spec,
             "accept_rate": args.spec_accept,
             "tokens_per_pass": round(int(out_s.steps) / max(1, int(out_s.passes)), 2),
-            "trace_identical": match,
+            "trace_identical": bool(agree == 1.0),
+            "trace_agreement": round(agree, 4),
             "seq_sec": round(seq_time, 2),
             "spec_sec": round(spec_time, 2),
         }))

@@ -34,8 +34,25 @@ the multi-token-prediction + speculative-verification recipe for codec TTS
   ``trace_draft_fn`` replays a given token trace (oracle for tests and for
   measuring the speedup ceiling at a controlled acceptance rate).
 
-Dense KV cache only: the multi-token cache write is a per-row block
-dynamic-update-slice, which the dense layout supports directly.
+KV-cache coverage: dense, paged, paged_f8 run on the unfused chain
+(``t5gemma.paged_decode_multi``'s segment kernels + exact flash merge);
+paged AND paged_i8 additionally run the verify pass through the
+megakernel chain path (``megakernel.decode_stack(chain=k+1)``) whenever
+the decode weights are fused int8/int4 — one launch per pass, about the
+cost of one fused sequential step (VERDICT r4 next #4). paged_i8 is
+megakernel-ONLY (the unfused segment kernels have no int8 scale-plane
+support) and on TPU additionally needs batch % 8 == 0 (the staged scale
+slab's sublane constraint, ops/megakernel.supports).
+
+Exactness caveat on the megakernel chain: the fused verify groups the
+flash merge differently from the sequential decomposition (chain prefix
+as a dense tail block vs flushed slab lanes), so logits agree only to
+summation order; with int8-quantized weights a true near-tie can sample
+a different — equally valid — token. The emitted distribution is
+preserved (the same caveat class as TPU bf16 matmul shape dependence in
+the module notes above); the unfused paths keep strict per-platform
+array-equality and the tests hold the mk chain to overwhelming
+agreement instead.
 """
 
 from __future__ import annotations
@@ -191,12 +208,11 @@ def decode_tokens_speculative(
     """
     kv_mode = engine.resolve_kv_mode(cfg, dcfg, prompt.shape[1] + 1,
                                      dcfg.max_frames + k)
-    if kv_mode == "paged_i8":
-        raise ValueError(
-            "speculative decode supports dense/paged/paged_f8 KV caches; "
-            "the int8 cache's segment kernels do not expose flash stats yet")
     dcfg = dataclasses.replace(dcfg, kv_cache=kv_mode)
-    paged = kv_mode in ("paged", "paged_f8")
+    # paged_i8 runs the verify pass through the megakernel chain ONLY;
+    # t5gemma.paged_decode_multi raises at trace time if the weights are
+    # not fused-quantized or the TPU batch gate fails
+    paged = kv_mode in ("paged", "paged_f8", "paged_i8")
     s = cfg.special
     eog = cfg.eog_inference
     dims = cfg.backbone.decoder

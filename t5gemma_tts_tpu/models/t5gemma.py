@@ -1060,6 +1060,15 @@ def paged_decode_multi(
       pseudo-rows; intra-chain causal attention joins through the exact
       flash merge (ops/paged_attn.py merge_attention_parts_chain).
 
+    Kernel selection (round 5, VERDICT r4 next #4): when the megakernel
+    applies (fused int8/int4 weights + supported cache), the whole verify
+    pass runs through ``megakernel.decode_stack(chain=S)`` — B*S
+    pseudo-rows, intra-chain causality inside the kernel — so a verify
+    pass costs about one fused decode step instead of the unfused
+    two-kernel chain. int8 KV pages are supported ONLY on that path (the
+    unfused segment kernels have no scale-plane support); bf16-weight
+    configs keep the unfused chain below.
+
     Returns (hidden [B, S, D], cache, chain_k, chain_v) where chain_k/v
     [L, B, S, Hkv, hd] are this pass's K/V — the next pass's pending block.
     """
@@ -1079,16 +1088,101 @@ def paged_decode_multi(
     wp = cache.prompt_k.shape[2]
     tg = cache.gen_k.shape[2]
     tx = cache.cross_k.shape[2]
+    quant = cache.gen_k.dtype == jnp.int8
 
     # flush the previous pass's chain: one contiguous in-place update
-    block_k = pending_k.transpose(3, 0, 1, 2, 4).reshape(
+    # (int8 pages: quantize the bf16 chain block per token and write the
+    # matching scale-plane block, mirroring paged_decode_step's flush)
+    if quant:
+        from ..ops.fused_attn import quantize_kv
+
+        qk, sck = quantize_kv(pending_k)       # [L,B,S,Hkv,hd], [L,B,S,Hkv]
+        qv_, scv = quantize_kv(pending_v)
+        pend_k_store, pend_v_store = qk, qv_
+    else:
+        pend_k_store, pend_v_store = pending_k, pending_v
+    block_k = pend_k_store.transpose(3, 0, 1, 2, 4).reshape(
         dims.num_kv_heads, -1, s_len, dims.head_dim).astype(cache.gen_k.dtype)
-    block_v = pending_v.transpose(3, 0, 1, 2, 4).reshape(
+    block_v = pend_v_store.transpose(3, 0, 1, 2, 4).reshape(
         dims.num_kv_heads, -1, s_len, dims.head_dim).astype(cache.gen_v.dtype)
     gk = jax.lax.dynamic_update_slice(cache.gen_k, block_k,
                                       (0, 0, flush_start, 0))
     gv = jax.lax.dynamic_update_slice(cache.gen_v, block_v,
                                       (0, 0, flush_start, 0))
+    gks = gvs = None
+    if quant:
+        sblock_k = sck.transpose(3, 0, 1, 2).reshape(
+            dims.num_kv_heads, -1, s_len)
+        sblock_v = scv.transpose(3, 0, 1, 2).reshape(
+            dims.num_kv_heads, -1, s_len)
+        gks = jax.lax.dynamic_update_slice(cache.gen_k_scale, sblock_k,
+                                           (0, 0, flush_start))
+        gvs = jax.lax.dynamic_update_slice(cache.gen_v_scale, sblock_v,
+                                           (0, 0, flush_start))
+
+    # ---- megakernel chain path -----------------------------------------
+    from ..ops import megakernel as mk
+
+    fused_mode = _fused_attn_mode(dims)
+    mk_ok = ((fused_mode == 3 or quant)
+             and mk.supports(params["layers"], dims, cache))
+    if quant and not mk_ok:
+        raise ValueError(
+            "paged_i8 verify pass requires the megakernel path (fused "
+            "int8/int4 weights; on TPU also batch % 8 == 0) — the unfused "
+            "segment kernels have no int8 scale-plane support")
+    if mk_ok:
+        interp3 = jax.default_backend() != "tpu"
+        cosf = cos.reshape(b * s_len, dims.head_dim)
+        sinf = sin.reshape(b * s_len, dims.head_dim)
+        if q_cos is not None:
+            qcf = q_cos.reshape(b * s_len, dims.head_dim)
+            qsf = q_sin.reshape(b * s_len, dims.head_dim)
+        else:
+            qcf, qsf = cosf, sinf
+        kv_scales3 = None
+        if quant:
+            kv_scales3 = (cache.prompt_k_scale, cache.prompt_v_scale,
+                          gks, gvs,
+                          cache.cross_k_scale, cache.cross_v_scale)
+
+        def rep1(lens):
+            return jnp.repeat(lens.astype(jnp.int32), s_len, axis=0)
+
+        glens_f = rep1(jnp.broadcast_to(step.astype(jnp.int32), (b,)))
+        hf = h.reshape(b * s_len, dims.hidden_size).astype(jnp.float32)
+
+        stacked = os.environ.get("T5G_MK_STACKED")
+        if stacked is None:
+            stacked = "1" if jax.default_backend() == "tpu" else "0"
+        common = dict(
+            cos=cosf, sin=sinf, qcos=qcf, qsin=qsf,
+            plens=rep1(prompt_lengths), glens=glens_f,
+            elens=rep1(enc_lengths),
+            prompt_k=cache.prompt_k, prompt_v=cache.prompt_v,
+            gen_k=gk, gen_v=gv,
+            cross_k=cache.cross_k, cross_v=cache.cross_v,
+            kv_scales=kv_scales3, interpret=interp3, chain=s_len)
+        if stacked == "1":
+            h3, k_new, v_new = mk.decode_stack(
+                params["layers"], dims, h=hf, **common)
+        else:
+            def body3(carry, li):
+                hout, k_new, v_new = mk.decode_layer(
+                    params["layers"], dims, h=carry, li=li, **common)
+                return hout, (k_new, v_new)
+
+            h3, (k_new, v_new) = jax.lax.scan(body3, hf, layer_ids)
+        h3 = rms_norm(h3, params["final_norm"], dims.rms_norm_eps)
+        hidden = h3.reshape(b, s_len, dims.hidden_size).astype(h.dtype)
+        chain_k = k_new.reshape(dims.num_layers, b, s_len,
+                                dims.num_kv_heads, dims.head_dim)
+        chain_v = v_new.reshape(dims.num_layers, b, s_len,
+                                dims.num_kv_heads, dims.head_dim)
+        return (hidden,
+                cache._replace(gen_k=gk, gen_v=gv,
+                               gen_k_scale=gks, gen_v_scale=gvs),
+                chain_k.astype(jnp.bfloat16), chain_v.astype(jnp.bfloat16))
 
     prompt_kp, prompt_vp = _pages_view(cache.prompt_k), _pages_view(cache.prompt_v)
     gen_kp, gen_vp = _pages_view(gk), _pages_view(gv)

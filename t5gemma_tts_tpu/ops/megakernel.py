@@ -169,6 +169,12 @@ def _kernel(
                               # layers as a sequential grid; the layer id is
                               # the grid index and h carries across steps in
                               # the revisited hout block (li_s is ignored)
+    chain: int = 1,           # speculative verify: each cache row carries
+                              # ``chain`` pseudo-rows (S = k+1 chain
+                              # positions); pseudo-row b maps to cache row
+                              # b // chain and attends causally to the
+                              # fresh K/V of pseudo-rows (b//chain)*chain
+                              # .. b (the generalized "current token")
 ):
     d = hidden
     hd = head_dim
@@ -470,7 +476,8 @@ def _kernel(
             return na, nb
 
         def start_blk(b, i, slot):
-            row = li * true_batch + jnp.minimum(b, true_batch - 1)
+            # pseudo-row b reads cache row b // chain (chain == 1: b itself)
+            row = li * true_batch + jnp.minimum(b // chain, true_batch - 1)
             na, _ = counts(b)
             in_a = i < na
             pid_a = row * pp_a + jnp.minimum(i, pp_a - 1)
@@ -544,8 +551,9 @@ def _kernel(
                     # per-token scales, token axis in LANES throughout
                     # (the k scale multiplies the LOGITS and the v scale
                     # folds into p: q.(k8*s) = s.(q.k8) — no relayout)
-                    sia = jnp.minimum(b * pp_a + i, true_batch * pp_a - 1)
-                    sib = jnp.clip(b * pp_b + (i - na), 0,
+                    brow = b // chain
+                    sia = jnp.minimum(brow * pp_a + i, true_batch * pp_a - 1)
+                    sib = jnp.clip(brow * pp_b + (i - na), 0,
                                    true_batch * pp_b - 1)
                     ks = jnp.where(in_a, ska[:, pl.ds(sia, 1), :],
                                    skb[:, pl.ds(sib, 1), :])  # [hkv, 1, ts]
@@ -585,14 +593,54 @@ def _kernel(
             m, l, acc = jax.lax.fori_loop(0, nblocks, blk, (m0, l0, acc0))
 
             if with_current:
-                ck = knew_ref[:, pl.ds(b, 1), :]          # [hkv, 1, hd]
-                cv = vnew_ref[:, pl.ds(b, 1), :]
-                cur = capped(jnp.sum(qrow * ck, -1, keepdims=True))
-                m_new = jnp.maximum(m, cur)
-                p_c = jnp.exp(cur - m_new)
-                alpha = jnp.exp(m - m_new)
-                l = l * alpha + p_c
-                acc = acc * alpha + p_c * cv
+                # chain == 1: exactly the single in-flight token read.
+                # chain > 1 (speculative verify): pseudo-row b attends to
+                # the fresh K/V of its OWN chain positions 0..pos_in (the
+                # intra-chain causal part the unfused path handles with
+                # merge_attention_parts_chain); j > pos_in is masked.
+                cb = (b // chain) * chain       # chain base pseudo-row
+                cb = jnp.minimum(cb, bp - chain)  # padded-tail clamp
+                pos_in = b - cb
+
+                def store_round(x):
+                    # chain positions j < pos_in: the sequential engine
+                    # reads these from the FLUSHED cache, so round-trip
+                    # through the storage dtype (pending blocks are held
+                    # bf16 before the flush; int8 adds the per-token
+                    # quantize/dequantize) to keep the emitted stream
+                    # aligned with the sequential trace — the same
+                    # store_dtype rule as paged_attn.merge_attention_
+                    # parts_chain
+                    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+                    if not kv_quant:
+                        return xb
+                    amax = jnp.max(jnp.abs(xb), -1, keepdims=True)
+                    s = jnp.maximum(amax, 1e-8) / 127.0
+                    return jnp.clip(jnp.round(xb / s), -127.0, 127.0) * s
+
+                # the flushed-slab dot runs in bf16 q; use the same
+                # rounded q for the j < pos_in contributions so a token's
+                # logits match (to summation order) what the sequential
+                # engine computes once these tokens are in the slab
+                qrow_st = qrow.astype(jnp.bfloat16).astype(jnp.float32)
+                for j in range(chain):
+                    ck = knew_ref[:, pl.ds(cb + j, 1), :]  # [hkv, 1, hd]
+                    cv = vnew_ref[:, pl.ds(cb + j, 1), :]
+                    qj = qrow
+                    if chain > 1:
+                        is_self = jnp.int32(j) >= pos_in
+                        ck = jnp.where(is_self, ck, store_round(ck))
+                        cv = jnp.where(is_self, cv, store_round(cv))
+                        qj = jnp.where(is_self, qrow, qrow_st)
+                    cur = capped(jnp.sum(qj * ck, -1, keepdims=True))
+                    if chain > 1:
+                        cur = jnp.where(j <= pos_in, cur, _MASK_VALUE)
+                    m_new = jnp.maximum(m, cur)
+                    p_c = jnp.exp(cur - m_new)
+                    alpha = jnp.exp(m - m_new)
+                    l = l * alpha + p_c
+                    acc = acc * alpha + p_c * cv
+                    m = m_new
             out = acc / jnp.where(l > 0.0, l, 1.0)        # [hkv, g, hd]
             ah_buf[:, pl.ds(b, 1), :] = out.reshape(heads, 1, hd)
             return jax.lax.rem(s0 + nblocks, 2)
@@ -629,8 +677,10 @@ def _kernel(
 
         slab_attention(
             pk_ref, pv_ref, gk_ref, gv_ref, meta.ppp, meta.ppg,
-            alen_of=lambda b: jnp.where(b < true_batch, plens_s[b], 0),
-            blen_of=lambda b: jnp.where(b < true_batch, glens_s[b], 0),
+            alen_of=lambda b: jnp.where(b < true_batch * chain,
+                                        plens_s[b], 0),
+            blen_of=lambda b: jnp.where(b < true_batch * chain,
+                                        glens_s[b], 0),
             with_current=True,
             scale_srcs=(pks_ref, pvs_ref, gks_ref, gvs_ref),
             scale_bufs=(scale_scratch[0], scale_scratch[1],
@@ -659,7 +709,7 @@ def _kernel(
 
         slab_attention(
             xk_ref, xv_ref, xk_ref, xv_ref, meta.ppx, 1,
-            alen_of=lambda b: jnp.where(b < true_batch,
+            alen_of=lambda b: jnp.where(b < true_batch * chain,
                                         jnp.maximum(elens_s[b], 1), 0),
             blen_of=lambda b: jnp.int32(0),
             with_current=False,
@@ -925,12 +975,13 @@ def supports(params_layers: Dict[str, Any], dims, cache) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("dims_key", "true_batch", "eps", "soft_cap", "q_scale",
-                     "interpret", "phases", "w4", "stacked"),
+                     "interpret", "phases", "w4", "stacked", "chain"),
 )
 def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
           li, plens, glens, elens, kv_scales=None, *, dims_key, true_batch,
           eps, soft_cap, q_scale, interpret,
-          phases=("self", "cross", "mlp"), w4=False, stacked=False):
+          phases=("self", "cross", "mlp"), w4=False, stacked=False,
+          chain=1):
     (bp, d, heads, hkv, hd) = dims_key
     qkvw, ow, cqw, cow, guw, dnw = weights
     pk, pv, gk, gv, xk, xv = slabs
@@ -991,7 +1042,7 @@ def _call(h, cos, sin, qcos, qsin, norms, scales, weights, slabs,
         _kernel, meta=meta, true_batch=true_batch, hidden=d, heads=heads,
         kv_heads=hkv, head_dim=hd, eps=eps, soft_cap=soft_cap,
         q_scale=q_scale, kv_quant=kv_quant, phases=phases, w4=w4,
-        layer_from_grid=stacked)
+        layer_from_grid=stacked, chain=chain)
 
     n_layers = norms[0].shape[0]   # [L, d] tables (weights are flattened
                                    # tile-major by now, so their dim 0 is
@@ -1163,14 +1214,20 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
                  gen_k, gen_v, cross_k, cross_v,
                  kv_scales=None,
                  interpret: bool = False,
-                 phases: tuple = ("self", "cross", "mlp")):
+                 phases: tuple = ("self", "cross", "mlp"),
+                 chain: int = 1):
     """Run decoder layer ``li`` through the megakernel.
 
     h: [B, D]; cos/sin/qcos/qsin: [B, hd]; slabs are the cache's raw
     [Hkv, L*B, T, hd] bf16 — or int8 with ``kv_scales`` = the cache's six
     per-token scale planes [Hkv, L*B, T] (prompt_k, prompt_v, gen_k,
     gen_v, cross_k, cross_v order) — buffers (models/t5gemma.py identity
-    layout). Returns (h_out [B, D] f32, k_new/v_new [B, Hkv, hd] f32)."""
+    layout). Returns (h_out [B, D] f32, k_new/v_new [B, Hkv, hd] f32).
+
+    ``chain`` > 1 (speculative verify pass): the leading axis of h/cos/...
+    carries B_cache * chain pseudo-rows, chain-position-major within each
+    cache row; each pseudo-row additionally attends causally to the fresh
+    K/V of its own chain prefix (models/t5gemma.py paged_decode_multi)."""
     from .quant import Lanes4Weight
 
     sa = params_layers["self_attn"]
@@ -1202,10 +1259,10 @@ def decode_layer(params_layers, dims, *, h, cos, sin, qcos, qsin,
         norms, scales, weights, slabs,
         jnp.asarray(li), _pad_rows(plens, bp), _pad_rows(glens, bp),
         _pad_rows(elens, bp), kv_scales,
-        dims_key=dims_key, true_batch=b, eps=dims.rms_norm_eps,
+        dims_key=dims_key, true_batch=b // chain, eps=dims.rms_norm_eps,
         soft_cap=dims.attn_logit_softcap,
         q_scale=float(dims.q_scale), interpret=interpret, phases=phases,
-        w4=w4)
+        w4=w4, chain=chain)
     # row-major [BP, Hkv*hd] -> engine layout [B, Hkv, hd]: free reshape
     # (the head-major kernel outputs exist only for the in-kernel
     # current-token read; a transpose here cost ~52 XLA launches/step)
@@ -1219,7 +1276,8 @@ def decode_stack(params_layers, dims, *, h, cos, sin, qcos, qsin,
                  gen_k, gen_v, cross_k, cross_v,
                  kv_scales=None,
                  interpret: bool = False,
-                 phases: tuple = ("self", "cross", "mlp")):
+                 phases: tuple = ("self", "cross", "mlp"),
+                 chain: int = 1):
     """Run ALL decoder layers through ONE megakernel launch (round 4).
 
     Same math as scanning :func:`decode_layer` over layers, but the layer
@@ -1264,10 +1322,10 @@ def decode_stack(params_layers, dims, *, h, cos, sin, qcos, qsin,
         norms, scales, weights, slabs,
         jnp.asarray(0), _pad_rows(plens, bp), _pad_rows(glens, bp),
         _pad_rows(elens, bp), kv_scales,
-        dims_key=dims_key, true_batch=b, eps=dims.rms_norm_eps,
+        dims_key=dims_key, true_batch=b // chain, eps=dims.rms_norm_eps,
         soft_cap=dims.attn_logit_softcap,
         q_scale=float(dims.q_scale), interpret=interpret, phases=phases,
-        w4=w4, stacked=True)
+        w4=w4, stacked=True, chain=chain)
     hkv, hd = dims.num_kv_heads, dims.head_dim
     n_layers = norms[0].shape[0]
     return (hout[:b],

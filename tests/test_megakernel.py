@@ -419,3 +419,148 @@ def test_stacked_matches_scan_w4():
                                   np.asarray(h3, np.float32))
     np.testing.assert_array_equal(np.asarray(cs.pending_k, np.float32),
                                   np.asarray(c3.pending_k, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# (k+1)-token speculative verify pass through the megakernel chain mode
+# (VERDICT r4 next #4): paged_decode_multi dispatches to decode_stack/
+# decode_layer with chain=S when the weights are fused-quantized.
+# ---------------------------------------------------------------------------
+
+
+def _multi_inputs(dims, b, s_len, seed=11):
+    rng = np.random.default_rng(seed)
+    emb = jnp.asarray(rng.normal(size=(b, s_len, dims.hidden_size)) * 0.3,
+                      jnp.bfloat16)
+    pos = jnp.asarray(
+        np.sort(rng.uniform(0, 100, (b, s_len)), axis=1), jnp.float32)
+    pend_k = jnp.asarray(
+        rng.normal(size=(dims.num_layers, b, s_len, dims.num_kv_heads,
+                         dims.head_dim)) * 0.4, jnp.bfloat16)
+    pend_v = jnp.asarray(
+        rng.normal(size=pend_k.shape) * 0.4, jnp.bfloat16)
+    return emb, pos, pend_k, pend_v
+
+
+def _run_multi(mode, dec, dims, cache, emb, pos, pend_k, pend_v,
+               flush_start, step, plens, elens):
+    if mode is None:
+        os.environ.pop("T5G_FUSED_ATTN", None)
+    else:
+        os.environ["T5G_FUSED_ATTN"] = str(mode)
+    os.environ["T5G_MK_STACKED"] = "0"
+    try:
+        return t5gemma.paged_decode_multi(
+            dec, dims, inputs_embeds=emb, position_ids=pos,
+            pm_decoder_positions=pos, cache=cache,
+            pending_k=pend_k, pending_v=pend_v,
+            flush_start=jnp.int32(flush_start), step=step,
+            prompt_lengths=plens, enc_lengths=elens)
+    finally:
+        os.environ.pop("T5G_FUSED_ATTN", None)
+        os.environ.pop("T5G_MK_STACKED", None)
+
+
+def test_chain_verify_matches_unfused_multi():
+    """megakernel chain verify pass (bf16 pages) vs the unfused
+    paged_decode_multi on the same quantized weights: same semantics,
+    quantized-path tolerance (the same bar as the 1-token kernel)."""
+    s_len = 3
+    cfg, dims, dec, cache, _, _, plens, elens, step = _setup()
+    emb, pos, pend_k, pend_v = _multi_inputs(dims, 2, s_len)
+
+    h0, c0, ck0, cv0 = _run_multi(None, dec, dims, cache, emb, pos,
+                                  pend_k, pend_v, 2, step, plens, elens)
+    h3, c3, ck3, cv3 = _run_multi(3, dec, dims, cache, emb, pos,
+                                  pend_k, pend_v, 2, step, plens, elens)
+    assert np.isfinite(np.asarray(h3, np.float32)).all()
+    assert _rel(h3, h0) < 5e-2
+    assert _rel(ck3, ck0) < 2e-2
+    assert _rel(cv3, cv0) < 2e-2
+    # both paths flushed the same pending block
+    np.testing.assert_array_equal(np.asarray(c3.gen_k), np.asarray(c0.gen_k))
+
+
+def test_chain_verify_stacked_matches_scan():
+    """chain mode through decode_stack (one launch) must bit-match the
+    decode_layer chain scan (same math, grid-carried h)."""
+    s_len = 3
+    cfg, dims, dec, cache, _, _, plens, elens, step = _setup()
+    emb, pos, pend_k, pend_v = _multi_inputs(dims, 2, s_len)
+
+    os.environ["T5G_FUSED_ATTN"] = "3"
+    try:
+        os.environ["T5G_MK_STACKED"] = "0"
+        h_scan, _, ck_s, cv_s = t5gemma.paged_decode_multi(
+            dec, dims, inputs_embeds=emb, position_ids=pos,
+            pm_decoder_positions=pos, cache=cache,
+            pending_k=pend_k, pending_v=pend_v,
+            flush_start=jnp.int32(2), step=step,
+            prompt_lengths=plens, enc_lengths=elens)
+        os.environ["T5G_MK_STACKED"] = "1"
+        h_stk, _, ck_k, cv_k = t5gemma.paged_decode_multi(
+            dec, dims, inputs_embeds=emb, position_ids=pos,
+            pm_decoder_positions=pos, cache=cache,
+            pending_k=pend_k, pending_v=pend_v,
+            flush_start=jnp.int32(2), step=step,
+            prompt_lengths=plens, enc_lengths=elens)
+    finally:
+        os.environ.pop("T5G_FUSED_ATTN", None)
+        os.environ.pop("T5G_MK_STACKED", None)
+    np.testing.assert_array_equal(np.asarray(h_stk, np.float32),
+                                  np.asarray(h_scan, np.float32))
+    np.testing.assert_array_equal(np.asarray(ck_k, np.float32),
+                                  np.asarray(ck_s, np.float32))
+
+
+def test_chain_verify_causality():
+    """Chain position i must not depend on later drafts: corrupting
+    embeddings at positions > i leaves hidden[:, :i+1] unchanged."""
+    s_len = 3
+    cfg, dims, dec, cache, _, _, plens, elens, step = _setup()
+    emb, pos, pend_k, pend_v = _multi_inputs(dims, 2, s_len)
+
+    h3, _, _, _ = _run_multi(3, dec, dims, cache, emb, pos,
+                             pend_k, pend_v, 2, step, plens, elens)
+    emb_bad = emb.at[:, 2, :].set(9.0)
+    hb, _, _, _ = _run_multi(3, dec, dims, cache, emb_bad, pos,
+                             pend_k, pend_v, 2, step, plens, elens)
+    np.testing.assert_array_equal(np.asarray(hb[:, :2], np.float32),
+                                  np.asarray(h3[:, :2], np.float32))
+
+
+def test_chain_verify_int8_kv():
+    """int8-KV chain verify (megakernel-only path): must agree with the
+    unfused bf16 chain on a dequantized twin cache, and the flush must
+    write quantized blocks + scale planes."""
+    s_len = 3
+    cfg, dims, dec, cache, _, _, plens, elens, step = _setup_i8()
+    emb, pos, pend_k, pend_v = _multi_inputs(dims, 2, s_len)
+
+    # quant path (mk forced by the int8 cache)
+    h8, c8, ck8, cv8 = _run_multi(None, dec, dims, cache, emb, pos,
+                                  pend_k, pend_v, 2, step, plens, elens)
+    assert np.isfinite(np.asarray(h8, np.float32)).all()
+    # scale planes were written for the flushed block
+    assert c8.gen_k_scale is not None
+    assert not np.allclose(
+        np.asarray(c8.gen_k_scale[:, :, 2:2 + s_len]),
+        np.asarray(cache.gen_k_scale[:, :, 2:2 + s_len]))
+
+    # bf16 twin: dequantize the int8 pages into a bf16 cache
+    def deq(x, s):
+        return (x.astype(jnp.float32) * s[..., None]).astype(jnp.bfloat16)
+
+    bf = t5gemma.init_paged_cache(dims, 2, 5, 6, 7)
+    bf = bf._replace(
+        prompt_k=deq(cache.prompt_k, cache.prompt_k_scale),
+        prompt_v=deq(cache.prompt_v, cache.prompt_v_scale),
+        gen_k=deq(cache.gen_k, cache.gen_k_scale),
+        gen_v=deq(cache.gen_v, cache.gen_v_scale),
+        cross_k=deq(cache.cross_k, cache.cross_k_scale),
+        cross_v=deq(cache.cross_v, cache.cross_v_scale),
+        pending_k=cache.pending_k, pending_v=cache.pending_v)
+    hb, _, ckb, cvb = _run_multi(None, dec, dims, bf, emb, pos,
+                                 pend_k, pend_v, 2, step, plens, elens)
+    assert _rel(h8, hb) < 8e-2
+    assert _rel(ck8, ckb) < 2e-2
