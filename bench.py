@@ -88,6 +88,13 @@ def main():
                          "optimizer state does not fit one 16 GB chip)")
     ap.add_argument("--skip-train-probe", action="store_true",
                     help="skip the training-throughput phase")
+    ap.add_argument("--continuous-probe", type=int, default=0, metavar="S",
+                    help="internal: measure the ContinuousServer resident-"
+                         "batch segment loop at S slots and print one JSON "
+                         "line — run as its own process by the orchestrator "
+                         "(phase E; VERDICT r4 next #2)")
+    ap.add_argument("--skip-continuous-probe", action="store_true",
+                    help="skip the continuous-batching phase")
     ap.add_argument("--warm-probe", action="store_true",
                     help="internal: compile the headline decode program and "
                          "print its compile time (run in a fresh process "
@@ -106,7 +113,7 @@ def main():
     import os
 
     if (args.mode == "throughput" and not args.warm_probe
-            and not args.train_probe
+            and not args.train_probe and not args.continuous_probe
             and not args.skip_matrix and args.preset != "test"
             and not os.environ.get("T5G_BENCH_CHILD")):
         _orchestrate(args)
@@ -142,6 +149,10 @@ def main():
 
     if args.train_probe:
         _train_probe(args)
+        return
+
+    if args.continuous_probe:
+        _continuous_probe(args)
         return
 
     import jax
@@ -662,6 +673,109 @@ def _train_probe(args):
     }))
 
 
+def _continuous_probe(args):
+    """Phase E: continuous-batching serving throughput on the driver record
+    (VERDICT r4 next #2 — the 127x/135.9x README numbers previously lived
+    only in builder-side tools/microbench_continuous.py captures).
+
+    Runs the ContinuousServer resident-batch segment loop
+    (decode/continuous.py) at ``--continuous-probe`` slots with the serving
+    config (int8 fused weights, per-row-clock paged cache, paged_i8 when
+    requested) and prints ONE JSON line with ms/step and the aggregate
+    x-realtime (slots tokens/step / 50 tokens/audio-sec)."""
+    import time
+
+    import jax
+
+    from t5gemma_tts_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax.numpy as jnp
+
+    from t5gemma_tts_tpu.config import (
+        DecodeConfig, VoiceConfig, backbone_preset,
+    )
+    from t5gemma_tts_tpu.decode import continuous
+    from t5gemma_tts_tpu.models import t5gemma, voice
+    from t5gemma_tts_tpu.ops.quant import quantize_params_for_decode
+
+    slots = args.continuous_probe
+    text_len, prompt_len, frames = 64, 128, 384
+    seg_steps = 64
+    use_int8 = args.int8
+    if args.preset == "test":
+        cfg = VoiceConfig(backbone=backbone_preset("test"),
+                          audio_vocab_size=128, text_vocab_size=512,
+                          dtype="float32")
+        text_len, prompt_len, frames, seg_steps = 8, 4, 16, 4
+        use_int8 = False
+    else:
+        cfg = VoiceConfig(backbone=backbone_preset(args.preset))
+    kv = args.kv if args.kv != "paged_f8" else "auto"
+    dcfg = DecodeConfig(top_k=30, top_p=0.9, temperature=0.8,
+                        max_frames=frames, kv_cache=kv)
+    params = jax.jit(lambda k: voice.init_params(k, cfg))(jax.random.PRNGKey(0))
+    params = jax.jit(t5gemma.fuse_for_decode, donate_argnums=0)(params)
+    if use_int8:
+        params = jax.jit(quantize_params_for_decode, donate_argnums=0)(params)
+    jax.block_until_ready(params)
+
+    fns = continuous.make_fns(cfg, dcfg)
+    state = continuous.init_slots(cfg, dcfg, slots, text_len, prompt_len)
+
+    rnp = np.random.default_rng(0)
+    t_admit0 = time.perf_counter()
+    for i in range(slots):
+        x = jnp.asarray(rnp.integers(3, cfg.text_vocab_size, text_len),
+                        jnp.int32)
+        p = jnp.asarray(rnp.integers(0, cfg.audio_vocab_size, prompt_len),
+                        jnp.int32)
+        state = fns.admit(params, state, jnp.int32(i), x,
+                          jnp.int32(text_len), p, jnp.int32(prompt_len),
+                          jnp.int32(prompt_len + frames + 100),
+                          jax.random.PRNGKey(i))
+    jax.block_until_ready(state)
+    admit_sec = time.perf_counter() - t_admit0
+
+    def run(state, n):
+        out = fns.segment(params, state, jnp.int32(n))
+        jax.block_until_ready(out)
+        np.asarray(out.steps)[:2]   # force completion (process note: a
+        return out                  # tiny dependent host fetch, not
+                                    # block_until_ready alone)
+
+    state = run(state, 4)           # compile
+    state = run(state, seg_steps)   # steady-state warmup (headline rule)
+    base0 = base = int(np.asarray(state.steps).min())
+    runs = []
+    t_all = time.perf_counter()
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = run(state, seg_steps)
+        dt = time.perf_counter() - t0
+        done = int(np.asarray(state.steps).min())
+        runs.append(round(slots / (dt / max(done - base, 1)) / 50.0, 2))
+        base = done
+    total = time.perf_counter() - t_all
+    per_step = total / max(base - base0, 1)
+    agg = slots / per_step / 50.0
+
+    print(json.dumps({
+        "metric": "continuous_aggregate_rtf",
+        "value": round(agg, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(agg / 30.0, 3),
+        "slots": slots,
+        "ms_per_step": round(per_step * 1e3, 3),
+        "runs": runs,
+        "kv_cache": continuous.resolve_cache_mode(cfg, dcfg, prompt_len),
+        "int8": bool(use_int8),
+        "admit_sec_total": round(admit_sec, 1),
+        "prompt": prompt_len, "frames": frames, "text_len": text_len,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def _orchestrate(args):
     """Full-record flow: three phases, each in its OWN process, strictly
     serialized (never two TPU clients at once — see the comment in main).
@@ -758,6 +872,24 @@ def _orchestrate(args):
         except Exception as exc:
             record["train_lora_tokens_per_sec"] = None
             record["train_lora_probe_error"] = str(exc)[:200]
+
+    # E: continuous batching (VERDICT r4 next #2) — the ContinuousServer
+    # resident-batch segment loop at 128 and 192 slots, serving config
+    # (int8 weights + requested KV mode), each in its own bounded process
+    if not args.skip_continuous_probe:
+        for n_slots in (128, 192):
+            cmd_e = base + ["--continuous-probe", str(n_slots)]
+            try:
+                res = subprocess.run(cmd_e, capture_output=True, text=True,
+                                     env=env, timeout=2700)
+                probe = json.loads(res.stdout.strip().splitlines()[-1])
+                record[f"continuous_aggregate_rtf_{n_slots}"] = probe["value"]
+                record[f"continuous_ms_per_step_{n_slots}"] = (
+                    probe["ms_per_step"])
+                record["continuous_kv_cache"] = probe["kv_cache"]
+            except Exception as exc:  # never sink the headline
+                record[f"continuous_aggregate_rtf_{n_slots}"] = None
+                record[f"continuous_probe_error_{n_slots}"] = str(exc)[:200]
 
     # C: warm start (a fresh process re-lowers the headline program
     # against the now-populated persistent compile cache). Two tiers
