@@ -322,7 +322,8 @@ def quantize_params_for_decode(params, quantize_encoder: bool = False,
                                act_bits: int = 8,
                                streaming_tiled: bool = None,
                                weight_bits: int = 8,
-                               head_dim: Optional[int] = None):
+                               head_dim: Optional[int] = None,
+                               head_bits: Optional[int] = None):
     """Quantize the weight-bandwidth-heavy matmuls of the voice model for
     inference. By default the decoder stack + prediction head (read every
     decode step) go int8; the encoder (read once per utterance) stays bf16
@@ -334,9 +335,20 @@ def quantize_params_for_decode(params, quantize_encoder: bool = False,
     matmuls (fused qkv, self o, cross q, cross o, gate_up, down — the
     2.27 GB/step that bounds batch-1 decode) pack to lane-halves int4
     (``Lanes4Weight``), everything else keeps int8. Speed/quality
-    tradeoff — see the lanes4 section header."""
+    tradeoff — see the lanes4 section header.
+
+    ``head_bits`` (default: follow ``weight_bits``) controls the
+    prediction head's big [D, Va] matmul separately — the documented
+    fallback for the int4 head's token-distribution shift
+    (tools/stress_int4_head.py band in docs/DESIGN.md): pass
+    ``head_bits=8`` to keep the head int8 while the layer weights stay
+    int4."""
     if weight_bits not in (8, 4):
         raise ValueError(f"weight_bits must be 8 or 4, got {weight_bits}")
+    if head_bits is None:
+        head_bits = weight_bits
+    if head_bits not in (8, 4):
+        raise ValueError(f"head_bits must be 8 or 4, got {head_bits}")
 
     if weight_bits == 4 and not _w4_dims_supported(params, head_dim):
         # without the megakernel the int4 fallback path (q_matmul's XLA
@@ -359,7 +371,8 @@ def quantize_params_for_decode(params, quantize_encoder: bool = False,
         keys = [getattr(k, "key", None) for k in path]
         if not keys:
             return None
-        if keys[0] == "head" and keys[-1] == "w2" and leaf.ndim == 2:
+        if (keys[0] == "head" and keys[-1] == "w2" and leaf.ndim == 2
+                and head_bits == 4):
             return quantize_weight_lanes4(leaf, k_major=False)
         if keys[0] != "decoder" or getattr(leaf, "ndim", 0) != 3:
             return None

@@ -321,3 +321,28 @@ def test_w4_head_decode_matches_int8_head_shapes():
     ref = voice_mod.predict_head(p0["head"], h)
     rel = float(jnp.linalg.norm(logits4 - ref) / jnp.linalg.norm(ref))
     assert rel < 0.2, rel
+
+
+def test_head_bits_fallback_keeps_head_int8():
+    """quantize_params_for_decode(weight_bits=4, head_bits=8): the layer
+    weights go lanes4 but the prediction head stays int8 — the documented
+    int4-head quality fallback (tools/stress_int4_head.py rule)."""
+    import jax
+
+    from t5gemma_tts_tpu.config import tiny_voice_config
+    from t5gemma_tts_tpu.models import t5gemma, voice
+    from t5gemma_tts_tpu.ops.quant import (
+        Lanes4Weight, QuantWeight, quantize_params_for_decode,
+    )
+
+    cfg = tiny_voice_config()
+    params = voice.init_params(jax.random.PRNGKey(0), cfg)
+    params = t5gemma.fuse_for_decode(params)
+    q = quantize_params_for_decode(params, weight_bits=4, head_bits=8,
+                                   streaming_tiled=True)
+    assert isinstance(q["decoder"]["layers"]["self_attn"]["qkv"],
+                      Lanes4Weight)
+    assert isinstance(q["head"]["w2"], QuantWeight)
+    q4 = quantize_params_for_decode(params, weight_bits=4,
+                                    streaming_tiled=True)
+    assert isinstance(q4["head"]["w2"], Lanes4Weight)
