@@ -101,6 +101,8 @@ def main():
                          "after the cache is populated -> warm-start number)")
     ap.add_argument("--skip-warm-probe", action="store_true",
                     help="skip the second-process compile_sec_warm probe")
+    ap.add_argument("--skip-cold-serve-probe", action="store_true",
+                    help="skip the fast-tier cold-serve probe (phase F)")
     args = ap.parse_args()
 
     # Default full-record invocation -> ORCHESTRATE: the headline+matrix,
@@ -931,7 +933,96 @@ def _orchestrate(args):
             record["warm_start_fast_sec"] = None
             record["warm_fast_probe_error"] = str(exc)[:200]
 
+    # F: fast-tier cold serve (VERDICT r4 next #9) — a FRESH server
+    # process with --fast_start serves its first request from the
+    # zero-Pallas tier while the full config compiles in the background;
+    # measured time from process spawn to the first complete audio
+    # response. Pure host/HTTP work in this parent — the server child is
+    # the only TPU client during the probe.
+    if not args.skip_cold_serve_probe:
+        try:
+            record.update(_cold_serve_probe(args))
+        except Exception as exc:  # never sink the headline
+            record["cold_first_audio_sec"] = None
+            record["cold_serve_probe_error"] = str(exc)[:200]
+
     print(json.dumps(record))
+
+
+def _cold_serve_probe(args):
+    import json as _json
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    base_url = f"http://127.0.0.1:{port}"
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "t5gemma_tts_tpu.inference.http_server",
+         "--random_model", args.preset, "--random_codec", "--fast_start",
+         "--host", "127.0.0.1", "--port", str(port),
+         "--quantize", "int4" if args.w4 else "int8",
+         "--kv_cache", "auto"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env=dict(os.environ, T5G_BENCH_CHILD="1"))
+    out = {}
+    try:
+        # the port opens only once the fast tier is warm; poll, then time
+        # the first full audio response
+        deadline = time.time() + 900
+        up = False
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(base_url + "/healthz",
+                                            timeout=5) as r:
+                    _json.loads(r.read())
+                up = True
+                break
+            except Exception:
+                if proc.poll() is not None:
+                    raise RuntimeError("cold-serve server exited early")
+                time.sleep(0.5)
+        if not up:
+            raise RuntimeError("cold-serve server never came up")
+        req = urllib.request.Request(
+            base_url + "/synthesize",
+            data=_json.dumps({"target_text": "cold start probe utterance",
+                              "target_duration": 2.0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = r.read()
+        assert len(body) > 1000, "cold-serve response suspiciously small"
+        out["cold_first_audio_sec"] = round(time.time() - t0, 1)
+
+        # how long until the full serving tier is live (background build)
+        deadline = time.time() + 1200
+        while time.time() < deadline:
+            with urllib.request.urlopen(base_url + "/healthz",
+                                        timeout=5) as r:
+                if _json.loads(r.read()).get("tier") == "full":
+                    out["cold_full_tier_ready_sec"] = round(
+                        time.time() - t0, 1)
+                    break
+            time.sleep(2.0)
+        # one request through the swapped-in full tier proves the handoff
+        if "cold_full_tier_ready_sec" in out:
+            with urllib.request.urlopen(req, timeout=600) as r:
+                r.read()
+        time.sleep(2.0)   # let the TPU go idle before terminating
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    return out
 
 
 if __name__ == "__main__":

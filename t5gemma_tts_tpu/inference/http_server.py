@@ -111,6 +111,9 @@ class _Handler(BaseHTTPRequestHandler):
                 "requests": st.requests,
                 "batches": st.batches,
                 "batch_sizes": st.batch_sizes[-16:],
+                # "fast" while a --fast_start server still serves from the
+                # zero-Pallas tier; "full" once the serving tier swapped in
+                "tier": getattr(self.backend, "tier", "full"),
             })
         if self.path == "/metrics":
             if not self._authorized():
@@ -254,7 +257,11 @@ def main(argv=None):
     from .gradio_app import _load_resources
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--model_dir", default=None)
+    ap.add_argument("--random_model", default=None, metavar="PRESET",
+                    help="serve a random-initialized backbone of this "
+                         "preset instead of --model_dir weights (bench "
+                         "cold-serve probe / testing only)")
     ap.add_argument("--codec_dir", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
@@ -280,28 +287,110 @@ def main(argv=None):
                     help="require 'Authorization: Bearer <token>' on "
                          "/synthesize* and /metrics (default: "
                          "$T5G_AUTH_TOKEN if set; /healthz stays open)")
+    ap.add_argument("--fast_start", action="store_true",
+                    help="serve the first requests from a zero-Pallas "
+                         "tier (bf16 weights, dense KV, unfused "
+                         "attention — ~10 s to first audio) while the "
+                         "full serving config compiles in the background, "
+                         "then switch (inference/server.py TieredBackend)")
     args = ap.parse_args(argv)
     import os as _os
 
+    if not args.model_dir and not args.random_model:
+        ap.error("--model_dir or --random_model required")
     auth_token = args.auth_token or _os.environ.get("T5G_AUTH_TOKEN") or None
 
-    pipe = _load_resources(args.model_dir, args.codec_dir,
-                           args.random_codec, args.quantize)
     from ..config import DecodeConfig
 
-    dcfg = DecodeConfig(kv_cache=args.kv_cache)
-    if args.continuous:
-        from .server import ContinuousServer
+    def load_pipe(quantize: str):
+        if args.random_model:
+            return _random_model_pipeline(args.random_model,
+                                          args.codec_dir, quantize)
+        return _load_resources(args.model_dir, args.codec_dir,
+                               args.random_codec, quantize)
 
-        backend = ContinuousServer(pipe, dcfg, slots=args.slots)
+    def build_backend(pipe, dcfg, warmup=True):
+        if args.continuous:
+            from .server import ContinuousServer
+
+            return ContinuousServer(pipe, dcfg, slots=args.slots)
+        return BatchingServer(pipe, dcfg, max_batch=args.max_batch,
+                              max_wait_ms=args.max_wait_ms,
+                              warmup=warmup and not args.no_warmup)
+
+    dcfg = DecodeConfig(kv_cache=args.kv_cache)
+    if args.fast_start:
+        from .server import TieredBackend
+
+        # fast tier: zero Pallas content — bf16 (unquantized) weights,
+        # dense KV, unfused attention. T5G_FUSED_ATTN only scopes the
+        # tier's warmup traces; later traces under the restored env still
+        # run Pallas-free on the dense/bf16 config.
+        prev = _os.environ.get("T5G_FUSED_ATTN")
+        _os.environ["T5G_FUSED_ATTN"] = "0"
+        try:
+            fast_pipe = load_pipe("none")
+            fast = BatchingServer(
+                fast_pipe, DecodeConfig(kv_cache="dense"),
+                max_batch=min(8, args.max_batch),
+                max_wait_ms=args.max_wait_ms,
+                warmup=not args.no_warmup,
+                warmup_batch_sizes=(1,), warmup_frame_buckets=(256,))
+        finally:
+            if prev is None:
+                _os.environ.pop("T5G_FUSED_ATTN", None)
+            else:
+                _os.environ["T5G_FUSED_ATTN"] = prev
+
+        def full_factory():
+            # reuse the fast tier's fused bf16 params (a second full load
+            # would OOM a 16 GB chip at 2b-2b); quantize WITHOUT donation
+            # so the fast tier keeps serving until the drain
+            from .pipeline import TTSPipeline
+
+            full_pipe = TTSPipeline(
+                fast_pipe.params, fast_pipe.cfg, fast_pipe.encode_text,
+                fast_pipe.audio_tokenizer, fuse_matmuls=False,
+                int8=args.quantize == "int8", int4=args.quantize == "int4",
+                donate_quant=False)
+            return build_backend(full_pipe, dcfg)
+
+        backend = TieredBackend(fast, full_factory)
+        pipe = fast_pipe
     else:
-        backend = BatchingServer(pipe, dcfg, max_batch=args.max_batch,
-                                 max_wait_ms=args.max_wait_ms,
-                                 warmup=not args.no_warmup)
+        pipe = load_pipe(args.quantize)
+        backend = build_backend(pipe, dcfg)
     sr = (pipe.audio_tokenizer.sample_rate
           if pipe.audio_tokenizer is not None else 44100)
     serve(backend, args.host, args.port, sample_rate=sr,
           auth_token=auth_token)
+
+
+def _random_model_pipeline(preset: str, codec_dir, quantize: str):
+    """Random-initialized pipeline for the bench cold-serve probe and
+    tests: throughput/latency are weight-value independent (bench.py),
+    and no released checkpoint can leave this zero-egress environment."""
+    from argparse import Namespace
+
+    import jax
+
+    from ..config import VoiceConfig, backbone_preset
+    from ..models import voice
+    from .cli import _load_codec
+    from .pipeline import TTSPipeline
+
+    cfg = VoiceConfig(backbone=backbone_preset(preset))
+    params = jax.jit(lambda k: voice.init_params(k, cfg))(
+        jax.random.PRNGKey(0))
+    codec_args = Namespace(codec_dir=codec_dir, random_codec=True,
+                           xcodec2_model_name=None)
+    audio_tok = _load_codec(codec_args, None)
+
+    def text_tok(s: str):
+        return [max(3, ord(c) % 255) for c in s]
+
+    return TTSPipeline(params, cfg, text_tok, audio_tok,
+                       int8=quantize == "int8", int4=quantize == "int4")
 
 
 if __name__ == "__main__":

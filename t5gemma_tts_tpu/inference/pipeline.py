@@ -88,6 +88,7 @@ class TTSPipeline:
         fuse_matmuls: bool = True,
         int8: bool = False,
         int4: bool = False,
+        donate_quant: bool = True,
     ):
         import jax as _jax
 
@@ -103,6 +104,10 @@ class TTSPipeline:
             # pack to lanes4 int4 (halves the per-step weight DMA, the
             # batch-1 bound), everything else int8. Documented
             # speed/quality tradeoff — ops/quant.py lanes4 header.
+            # donate_quant=False keeps the input tree alive — required
+            # when another pipeline still serves from it (TieredBackend's
+            # fast tier shares its fused bf16 params with the full tier's
+            # quantization; inference/http_server.py --fast_start).
             from ..ops.quant import quantize_params_for_decode
 
             wb = 4 if int4 else 8
@@ -110,7 +115,7 @@ class TTSPipeline:
             params = _jax.jit(
                 lambda p: quantize_params_for_decode(
                     p, weight_bits=wb, head_dim=hd),
-                donate_argnums=0)(params)
+                donate_argnums=(0,) if donate_quant else ())(params)
         self.params = params
         self.cfg = cfg
         self.encode_text = text_tokenizer

@@ -24,6 +24,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -223,6 +224,69 @@ class ContinuousServer:
                 self.stats.batch_sizes.append(len(outs))
             for slot, toks in outs:
                 self._finish(slot, toks)
+
+
+class TieredBackend:
+    """Serve from a fast-start tier while the full serving tier compiles.
+
+    The bench record's warm-start decomposition (docs/DESIGN.md "Warm
+    start") shows the megakernel serving program pays a large terminal-side
+    first-dispatch load, while a zero-Pallas tier (bf16 weights, dense KV,
+    unfused attention) is servable in ~10 s. This backend makes that tier
+    the ACTUAL first-request path (VERDICT r4 next #9): construct with the
+    already-warm fast backend, and a factory that builds + warms the full
+    serving backend on a background thread; requests route to whichever
+    tier is current, and the swap is a single attribute store (atomic under
+    the GIL). The fast tier is drained and closed ``drain_sec`` after the
+    swap, releasing its bf16 params.
+    """
+
+    def __init__(self, fast, full_factory, drain_sec: float = 60.0):
+        self._cur = fast
+        self.tier = "fast"
+        self._drain_sec = drain_sec
+        self._builder = threading.Thread(
+            target=self._build, args=(full_factory,), daemon=True,
+            name="TieredBackend-build")
+        self._builder.start()
+
+    def _build(self, factory) -> None:
+        try:
+            full = factory()
+        except Exception:
+            log.exception("full-tier build failed; staying on the fast tier")
+            return
+        old, self._cur = self._cur, full
+        self.tier = "full"
+        log.info("switched to the full serving tier")
+
+        def drain() -> None:
+            time.sleep(self._drain_sec)
+            try:
+                old.close()
+            except Exception:
+                log.exception("fast-tier close failed")
+
+        threading.Thread(target=drain, daemon=True,
+                         name="TieredBackend-drain").start()
+
+    @property
+    def stats(self):
+        return self._cur.stats
+
+    @property
+    def pipeline(self):
+        return self._cur.pipeline
+
+    def submit(self, request: Request) -> "Future[SynthesisResult]":
+        return self._cur.submit(request)
+
+    def synthesize(self, request: Request,
+                   timeout: Optional[float] = None) -> SynthesisResult:
+        return self._cur.synthesize(request, timeout)
+
+    def close(self) -> None:
+        self._cur.close()
 
 
 @dataclass

@@ -1,5 +1,6 @@
 """Batching server tests: concurrent submits resolve; batching happens."""
 
+import os
 import time
 
 import jax
@@ -228,3 +229,75 @@ def test_gradio_infer_fn_end_to_end(tmp_path):
     with pytest.raises(RuntimeError, match="target text"):
         infer(None, "", "", 0.3, 1, 4, 0.9, 0.0, 1.0)
     gradio_app._load_resources.cache_clear()
+
+
+def test_fast_start_tiered_server_cold_serve(tmp_path):
+    """--fast_start: a fresh server process serves its FIRST request from
+    the zero-Pallas fast tier, then swaps to the full (quantized) serving
+    tier in the background and keeps serving (VERDICT r4 next #9; the
+    bench cold-serve probe measures the same flow on TPU)."""
+    import json as _json
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    base = f"http://127.0.0.1:{port}"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "t5gemma_tts_tpu.inference.http_server",
+         "--random_model", "test", "--random_codec", "--fast_start",
+         "--host", "127.0.0.1", "--port", str(port),
+         "--quantize", "int8", "--kv_cache", "auto"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        text=True)
+    try:
+        t0 = time.time()
+        h = None
+        while time.time() - t0 < 900:
+            try:
+                with urllib.request.urlopen(base + "/healthz",
+                                            timeout=5) as r:
+                    h = _json.loads(r.read())
+                break
+            except Exception:
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        "server died: " + proc.stderr.read()[-3000:])
+                time.sleep(0.5)
+        assert h is not None, "server never came up"
+        assert h["tier"] == "fast"
+
+        req = urllib.request.Request(
+            base + "/synthesize",
+            data=_json.dumps({"target_text": "cold start probe",
+                              "target_duration": 0.5}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = r.read()
+        assert len(body) > 1000 and body[:4] == b"RIFF"
+
+        switched = False
+        while time.time() - t0 < 900:
+            with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
+                if _json.loads(r.read()).get("tier") == "full":
+                    switched = True
+                    break
+            time.sleep(1.0)
+        assert switched, "full tier never became ready"
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body2 = r.read()
+        assert len(body2) > 1000 and body2[:4] == b"RIFF"
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
