@@ -844,6 +844,32 @@ def _orchestrate(args):
             record["rtf_b1_int4"] = None
             record["int4_probe_error"] = str(exc)[:200]
 
+    # B2: speculative decoding on the record (VERDICT r4 next #4) — the
+    # (k+1)-token megakernel verify pass at k=4, oracle draft corrupted to
+    # 90% per-token acceptance, batch-1 int4 regime (the b1 latency lever).
+    # Greedy mechanism measurement; realized acceptance needs trained
+    # draft heads (blocked on real weights, VERDICT r4 missing #2).
+    if args.int8:
+        # kv "auto" (argparse takes the LAST --kv): same gate as phase B —
+        # the int8-KV megakernel is off at batch 1 (megakernel.supports)
+        cmd_b2 = base + ["--batch", "1", "--spec", "4", "--w4",
+                         "--skip-vocoder", "--skip-warm-probe",
+                         "--kv", "auto"]
+        try:
+            res = subprocess.run(cmd_b2, capture_output=True, text=True,
+                                 env=env, timeout=2700)
+            probe = json.loads(res.stdout.strip().splitlines()[-1])
+            record["speculative_speedup_b1"] = probe["value"]
+            record["spec_k"] = probe["spec_k"]
+            record["spec_accept_rate"] = probe["accept_rate"]
+            record["spec_tokens_per_pass"] = probe["tokens_per_pass"]
+            record["spec_trace_agreement"] = probe["trace_agreement"]
+            record["spec_b1_sec"] = probe["spec_sec"]
+            record["spec_seq_sec"] = probe["seq_sec"]
+        except Exception as exc:  # never sink the headline
+            record["speculative_speedup_b1"] = None
+            record["spec_probe_error"] = str(exc)[:200]
+
     # D: training throughput (VERDICT r3 next #4) — full fine-tune of the
     # b-b backbone at recipe-like dims, its own bounded process
     if not args.skip_train_probe:
