@@ -1002,7 +1002,7 @@ def _cold_serve_probe(args):
     try:
         # the port opens only once the fast tier is warm; poll, then time
         # the first full audio response
-        deadline = time.time() + 900
+        deadline = time.time() + 1500
         up = False
         while time.time() < deadline:
             try:
@@ -1022,13 +1022,13 @@ def _cold_serve_probe(args):
             data=_json.dumps({"target_text": "cold start probe utterance",
                               "target_duration": 2.0}).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=600) as r:
+        with urllib.request.urlopen(req, timeout=900) as r:
             body = r.read()
         assert len(body) > 1000, "cold-serve response suspiciously small"
         out["cold_first_audio_sec"] = round(time.time() - t0, 1)
 
         # how long until the full serving tier is live (background build)
-        deadline = time.time() + 1200
+        deadline = time.time() + 900
         while time.time() < deadline:
             with urllib.request.urlopen(base_url + "/healthz",
                                         timeout=5) as r:

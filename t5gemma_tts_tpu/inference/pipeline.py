@@ -121,6 +121,11 @@ class TTSPipeline:
         self.encode_text = text_tokenizer
         self.audio_tokenizer = audio_tokenizer
         self.audio_max_length = audio_max_length
+        # (batch, text, prompt, frames) shapes with a live compiled decode
+        # program — populated by warmup() and by every synthesize_planned
+        # compile; synthesize_planned prefers covering warm shapes over
+        # compiling new programs (see the routing comment there)
+        self._warm_shapes: set = set()
 
     # ------------------------------------------------------------------
     # assembly (reference inference_tts_utils.py:182-286)
@@ -229,17 +234,42 @@ class TTSPipeline:
         targets = [p.target for p in planned]
 
         b = len(planned)
-        tx = _bucket(max(len(t) for t in texts), TEXT_BUCKETS)
-        p_max = _bucket(max((len(p) for p in prompts), default=1), PROMPT_BUCKETS)
+        tx_need = max(len(t) for t in texts)
+        pm_need = max((len(p) for p in prompts), default=1)
+        tx = _bucket(tx_need, TEXT_BUCKETS)
+        p_max = _bucket(pm_need, PROMPT_BUCKETS)
         need_frames = max(
             self._need_frames(tt, len(p)) for tt, p in zip(targets, prompts)
         )
         max_frames = _bucket(need_frames, FRAME_BUCKETS)
 
-        x = np.zeros((b, tx), np.int32)
-        x_lens = np.zeros((b,), np.int32)
-        prm = np.full((b, p_max), s.pad, np.int32)
-        prm_lens = np.zeros((b,), np.int32)
+        # Warm-shape routing: compiling a decode program at request time
+        # costs trace + compile PLUS this terminal's per-program
+        # first-dispatch load (docs/DESIGN.md "Warm start" — measured
+        # minutes on the tunneled backend). If an already-compiled shape
+        # COVERS this batch (>= on every dim, no extra text/prompt
+        # truncation), rounding up to it is strictly cheaper than a fresh
+        # compile: padded text/prompt columns are masked out by the
+        # lengths, padded rows decode a 1-frame target and are dropped,
+        # and a larger frame buffer only lengthens the while_loop bound
+        # (rows still exit on their own budgets).
+        pad_rows = 0
+        shape = (b, tx, p_max, max_frames)
+        if shape not in self._warm_shapes:
+            cand = [w for w in self._warm_shapes
+                    if w[0] >= b and w[1] >= tx_need and w[2] >= pm_need
+                    and w[3] >= need_frames]
+            if cand:
+                w = min(cand, key=lambda w: (w[3], w[0], w[1], w[2]))
+                pad_rows = w[0] - b
+                _, tx, p_max, max_frames = w
+        b_run = b + pad_rows
+        self._warm_shapes.add((b_run, tx, p_max, max_frames))
+
+        x = np.zeros((b_run, tx), np.int32)
+        x_lens = np.zeros((b_run,), np.int32)
+        prm = np.full((b_run, p_max), s.pad, np.int32)
+        prm_lens = np.zeros((b_run,), np.int32)
         for i, (t, p) in enumerate(zip(texts, prompts)):
             t = t[:tx]
             x[i, : len(t)] = t
@@ -247,6 +277,11 @@ class TTSPipeline:
             p = p[:p_max]
             prm[i, : len(p)] = p
             prm_lens[i] = len(p)
+        run_targets = list(targets)
+        for i in range(b, b_run):        # padding rows: 1-frame decode
+            x[i, 0] = x[0, 0]
+            x_lens[i] = 1
+            run_targets.append(1)
 
         run = engine.jitted_decoder(
             cfg, dataclasses.replace(dcfg, max_frames=max_frames)
@@ -258,7 +293,7 @@ class TTSPipeline:
             self.params,
             jax.numpy.asarray(x), jax.numpy.asarray(x_lens),
             jax.numpy.asarray(prm), jax.numpy.asarray(prm_lens),
-            jax.numpy.asarray(np.asarray(targets, np.int32)),
+            jax.numpy.asarray(np.asarray(run_targets, np.int32)),
             rng,
         )
         tokens = np.asarray(out.tokens)
@@ -317,13 +352,23 @@ class TTSPipeline:
         prompt_buckets: Sequence[int] = (64,),
         frame_buckets: Sequence[int] = (512,),
         dcfg: Optional[DecodeConfig] = None,
+        execute: bool = False,
+        vocoder: bool = False,
     ) -> int:
         """Precompile decode programs for the given bucket grid.
 
-        Uses AOT lowering (abstract inputs), so no device step is executed;
-        combined with the persistent compilation cache this front-loads ALL
-        compile cost: a fresh process serving the same buckets starts in
-        seconds instead of minutes. Returns the number of programs compiled.
+        ``execute=False``: AOT lowering only (no device step) — combined
+        with the persistent compilation cache this front-loads compile
+        cost, but NOT the per-program first-dispatch load the tunneled
+        TPU terminal charges on first execution (docs/DESIGN.md "Warm
+        start" — observed minutes, and the reason the cold-serve probe's
+        first request timed out when it missed a bucket). ``execute=True``
+        runs each program once with synthetic 1-frame-target inputs and
+        forces a tiny fetch, so a subsequent request pays execution cost
+        only. ``vocoder=True`` additionally executes the codec decoder at
+        every token-length bucket <= max(frame_buckets) (the vocoder is
+        length-bucketed per result row — audio_tokenizer.decode).
+        Returns the number of programs compiled.
         """
         dcfg = dcfg or DecodeConfig()
         n = 0
@@ -333,17 +378,46 @@ class TTSPipeline:
             for b in batch_sizes:
                 for tx in text_buckets:
                     for pm in prompt_buckets:
-                        aval = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
-                        run_jit.lower(
-                            self.params,
-                            x=aval((b, tx), np.int32),
-                            x_lens=aval((b,), np.int32),
-                            prompt=aval((b, pm), np.int32),
-                            prompt_lens=aval((b,), np.int32),
-                            target_totals=aval((b,), np.int32),
-                            rng=aval((2,), np.uint32),
-                        ).compile()
+                        if execute:
+                            x = np.zeros((b, tx), np.int32)
+                            x[:, 0] = 3
+                            out = run_jit(
+                                self.params,
+                                x=jax.numpy.asarray(x),
+                                x_lens=jax.numpy.asarray(
+                                    np.ones((b,), np.int32)),
+                                prompt=jax.numpy.asarray(np.full(
+                                    (b, pm), self.cfg.special.pad, np.int32)),
+                                prompt_lens=jax.numpy.asarray(
+                                    np.zeros((b,), np.int32)),
+                                target_totals=jax.numpy.asarray(
+                                    np.ones((b,), np.int32)),
+                                rng=jax.random.PRNGKey(0),
+                            )
+                            np.asarray(out.gen_lens)[:1]
+                        else:
+                            aval = lambda shape, dt: jax.ShapeDtypeStruct(
+                                shape, dt)
+                            run_jit.lower(
+                                self.params,
+                                x=aval((b, tx), np.int32),
+                                x_lens=aval((b,), np.int32),
+                                prompt=aval((b, pm), np.int32),
+                                prompt_lens=aval((b,), np.int32),
+                                target_totals=aval((b,), np.int32),
+                                rng=aval((2,), np.uint32),
+                            ).compile()
+                        self._warm_shapes.add((b, tx, pm, mf))
                         n += 1
+        if vocoder and self.audio_tokenizer is not None:
+            from ..codec.audio_tokenizer import _BUCKETS as _VOC_BUCKETS
+
+            top = max(frame_buckets)
+            for vb in [v for v in _VOC_BUCKETS if v <= top] or _VOC_BUCKETS[:1]:
+                self.audio_tokenizer.decode(
+                    np.zeros((1, vb), np.int64),
+                    lengths=np.full((1,), vb, np.int32))
+                n += 1
         return n
 
     # ------------------------------------------------------------------

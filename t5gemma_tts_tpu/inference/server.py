@@ -241,16 +241,27 @@ class TieredBackend:
     swap, releasing its bf16 params.
     """
 
-    def __init__(self, fast, full_factory, drain_sec: float = 60.0):
+    def __init__(self, fast, full_factory, drain_sec: float = 60.0,
+                 build_delay_sec: float = 120.0):
         self._cur = fast
         self.tier = "fast"
         self._drain_sec = drain_sec
+        self._build_delay = build_delay_sec
+        self._first_served = threading.Event()
         self._builder = threading.Thread(
             target=self._build, args=(full_factory,), daemon=True,
             name="TieredBackend-build")
         self._builder.start()
 
     def _build(self, factory) -> None:
+        # Single-chip ordering: the full tier's warmup EXECUTES megakernel
+        # programs, each of which can pay the terminal's first-dispatch
+        # load (minutes — docs/DESIGN.md "Warm start"). Device dispatches
+        # are FIFO and non-preemptible, so starting that while the fast
+        # tier is serving its first request would queue the request behind
+        # the cliff — wait until the fast tier has actually answered once
+        # (or build_delay_sec, if no traffic arrives).
+        self._first_served.wait(self._build_delay)
         try:
             full = factory()
         except Exception:
@@ -283,9 +294,12 @@ class TieredBackend:
 
     def synthesize(self, request: Request,
                    timeout: Optional[float] = None) -> SynthesisResult:
-        return self._cur.synthesize(request, timeout)
+        res = self._cur.synthesize(request, timeout)
+        self._first_served.set()   # unblocks the deferred full-tier build
+        return res
 
     def close(self) -> None:
+        self._first_served.set()
         self._cur.close()
 
 
@@ -310,19 +324,25 @@ class BatchingServer:
         warmup_text_buckets: tuple = (64,),
         warmup_prompt_buckets: tuple = (64,),
         warmup_frame_buckets: tuple = (256, 512),
+        warmup_execute: bool = True,
     ):
         if warmup:
-            # front-load decode-program compiles for the CONFIGURED bucket
-            # grid so the first real request in any warmed shape is not a
-            # cold compile (the persistent cache makes this near-free on
-            # restarts). Shapes outside the grid still pay a cold compile on
-            # first arrival — widen the *_buckets args to match expected
-            # traffic.
+            # front-load decode programs for the CONFIGURED bucket grid —
+            # EXECUTED, not just compiled: on the tunneled TPU terminal
+            # every program additionally pays a first-dispatch load on
+            # first execution (minutes, environmental — docs/DESIGN.md
+            # "Warm start"), so AOT compiles alone still left the first
+            # real request to time out. The vocoder's per-length-bucket
+            # programs are executed too. Shapes outside the grid are
+            # ROUTED onto a covering warm shape by synthesize_planned
+            # (warm-shape routing) instead of compiling at request time.
             pipeline.warmup(
                 batch_sizes=warmup_batch_sizes or (1, max_batch),
                 text_buckets=warmup_text_buckets,
                 prompt_buckets=warmup_prompt_buckets,
-                frame_buckets=warmup_frame_buckets, dcfg=dcfg)
+                frame_buckets=warmup_frame_buckets, dcfg=dcfg,
+                execute=warmup_execute,
+                vocoder=warmup_execute and decode_audio)
         self.pipeline = pipeline
         self.dcfg = dcfg or DecodeConfig()
         self.max_batch = max_batch
