@@ -344,19 +344,45 @@ def main():
         seq_time = time.time() - t0
 
         trace = np.asarray(out1.tokens)
-        corrupt = np.random.default_rng(0).random(trace.shape) > args.spec_accept
-        bad = (trace + 1) % cfg.audio_vocab_size
-        draft = speculative.trace_draft_fn(
-            jnp.asarray(np.where(corrupt, bad, trace)), args.spec)
         srun = speculative.jitted_speculative_decoder(cfg, spec_dcfg,
                                                       args.spec)
+        # bootstrap: one spec pass drafted from the SEQUENTIAL trace. On
+        # CPU/unfused configs the spec stream is array-equal to it; on the
+        # TPU megakernel chain, int8/bf16 summation-order near-ties flip
+        # argmax at almost every step with RANDOM weights (near-uniform
+        # logits), so a cross-engine draft measures ~zero acceptance — a
+        # property of random weights, not of the mechanism. The timed run
+        # therefore drafts from the spec engine's OWN emitted trace
+        # (corrupted to --spec-accept): acceptance then reflects draft
+        # quality, which is what speculation's speedup depends on.
+        draft0 = speculative.trace_draft_fn(jnp.asarray(trace), args.spec)
+        out_s0 = srun(params, *b1, jax.random.fold_in(key, 7), draft0)
+        force(out_s0.tokens)  # compile + bootstrap
+        agree = float((np.asarray(out_s0.tokens) == trace).mean())
+
+        self_trace = np.asarray(out_s0.tokens)
+        corrupt = (np.random.default_rng(0).random(self_trace.shape)
+                   > args.spec_accept)
+        bad = (self_trace + 1) % cfg.audio_vocab_size
+        draft = speculative.trace_draft_fn(
+            jnp.asarray(np.where(corrupt, bad, self_trace)), args.spec)
         out_s = srun(params, *b1, jax.random.fold_in(key, 7), draft)
-        force(out_s.tokens)  # compile
+        force(out_s.tokens)  # compile (new draft closure)
         t0 = time.time()
         out_s = srun(params, *b1, jax.random.fold_in(key, 7), draft)
         force(out_s.tokens)
         spec_time = time.time() - t0
-        agree = float((np.asarray(out_s.tokens) == trace).mean())
+        # the acceptance-independent kernel fact (VERDICT r4 next #4 done
+        # criterion): what one (k+1)-token megakernel verify pass costs
+        # relative to one sequential fused step. On TPU with random bench
+        # weights the measured ACCEPTANCE is meaningless (any chain-
+        # position / tiling change flips near-tie argmaxes at the ulp
+        # level — near-uniform logits; see trace_agreement), but the
+        # per-pass cost is not: with trained (peaked) draft heads the
+        # speedup at acceptance a is ~((1-a^(k+1))/(1-a)) / cost_ratio.
+        seq_steps = max(1, int(out1.steps))
+        passes = max(1, int(out_s.passes))
+        cost_ratio = (spec_time / passes) / (seq_time / seq_steps)
         print(json.dumps({
             "metric": "speculative_speedup_b1",
             "value": round(seq_time / spec_time, 3),
@@ -367,6 +393,8 @@ def main():
             "tokens_per_pass": round(int(out_s.steps) / max(1, int(out_s.passes)), 2),
             "trace_identical": bool(agree == 1.0),
             "trace_agreement": round(agree, 4),
+            "draft_source": "self_trace",
+            "verify_pass_cost_vs_step": round(cost_ratio, 3),
             "seq_sec": round(seq_time, 2),
             "spec_sec": round(spec_time, 2),
         }))
@@ -866,6 +894,8 @@ def _orchestrate(args):
             record["spec_trace_agreement"] = probe["trace_agreement"]
             record["spec_b1_sec"] = probe["spec_sec"]
             record["spec_seq_sec"] = probe["seq_sec"]
+            record["spec_verify_pass_cost_vs_step"] = probe.get(
+                "verify_pass_cost_vs_step")
         except Exception as exc:  # never sink the headline
             record["speculative_speedup_b1"] = None
             record["spec_probe_error"] = str(exc)[:200]

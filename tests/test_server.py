@@ -284,8 +284,14 @@ def test_fast_start_tiered_server_cold_serve(tmp_path):
             body = r.read()
         assert len(body) > 1000 and body[:4] == b"RIFF"
 
+        # the full tier's build is DEFERRED until the first request is
+        # served (TieredBackend build_delay semantics) and its executed
+        # warmup now also compiles the vocoder's length buckets, so the
+        # flip gets its own window from first-request completion instead
+        # of sharing the spawn-time one
+        t1 = time.time()
         switched = False
-        while time.time() - t0 < 900:
+        while time.time() - t1 < 900:
             with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
                 if _json.loads(r.read()).get("tier") == "full":
                     switched = True
