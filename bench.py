@@ -29,13 +29,15 @@ def main():
     honor_jax_platforms_env()
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128,
+    ap.add_argument("--batch", type=int, default=192,
                     help="serving batch for the throughput headline. The "
                          "per-step HBM traffic is ~87 MB/layer of int8 "
                          "weights (batch-invariant) + per-row attention "
                          "slabs, so RTF keeps climbing with batch until "
                          "attention bytes dominate: measured 115.4x at 64, "
-                         "145.1x at 128 (2026-08-19, paged_i8)")
+                         "161.9x at 128, 173.0x at 192 (2026-08-21, "
+                         "paged_i8 + stacked megakernel; 256 OOMs the "
+                         "16 GB chip with the vocoder resident)")
     ap.add_argument("--seconds", type=float, default=5.0,
                     help="target duration per utterance")
     ap.add_argument("--preset", default="2b-2b", choices=["2b-2b", "b-b", "test"])
