@@ -551,7 +551,13 @@ def _train_probe(args):
     # 8-row micros OOMed b-b full-FT on the 16 GB chip); with
     # ops/chunked_ce.py the largest loss-side block is [rows, 512, 8192],
     # so wider micros are tried first and the ladder falls back on OOM.
-    ladder = [(4, 14), (7, 8), (14, 4)]  # (micros, rows/micro), same tokens
+    # (micros, rows/micro), same tokens/step at every rung; each rung
+    # falls back on OOM. 28-row micros were probed (r5) and fail the
+    # terminal compile with head-matmul temps resident (INTERNAL
+    # remote_compile 500 — the fallback below catches both spellings),
+    # so 14 rows is the widest rung worth paying a compile attempt for
+    # on a 16 GB chip.
+    ladder = [(4, 14), (7, 8), (14, 4)]
     tx, ty = 64, 512
     if preset == "test":
         ladder, tx, ty = [(2, 2)], 8, 16
@@ -672,7 +678,12 @@ def _train_probe(args):
             compile_sec, dt = attempt(nm, pm)
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback only
-            if "RESOURCE_EXHAUSTED" not in str(e) or li == len(ladder) - 1:
+            # the tunneled terminal surfaces compile-side memory failures
+            # as INTERNAL remote_compile HTTP 500 (tpu_compile_helper exit
+            # 1) rather than RESOURCE_EXHAUSTED — same fallback
+            oom = ("RESOURCE_EXHAUSTED" in str(e)
+                   or "tpu_compile_helper" in str(e))
+            if not oom or li == len(ladder) - 1:
                 raise
             import sys as _sys
 
