@@ -121,3 +121,67 @@ def test_pipeline_seed_determinism(tiny_pipeline):
     np.testing.assert_array_equal(r1.gen_frames, r2.gen_frames)
     assert not (len(r1.gen_frames) == len(r3.gen_frames)
                 and (r1.gen_frames == r3.gen_frames).all())
+
+
+def test_warmup_execute_registers_and_runs(tiny_pipeline):
+    """warmup(execute=True) runs each program (not just AOT-compiles it)
+    and registers the shape for warm routing (round-5 cold-serve fix)."""
+    pipe = tiny_pipeline
+    before = set(pipe._warm_shapes)
+    n = pipe.warmup(batch_sizes=(1,), text_buckets=(32,),
+                    prompt_buckets=(64,), frame_buckets=(256,),
+                    dcfg=DecodeConfig(kv_cache="dense"),
+                    execute=True, vocoder=True)
+    # 1 decode program + the vocoder buckets <= 256
+    assert n >= 2
+    assert (1, 32, 64, 256) in pipe._warm_shapes - before
+
+
+def test_warm_shape_routing_prefers_covering_shape(tiny_pipeline):
+    """A request whose exact bucket combo is not warm routes onto an
+    already-compiled covering shape instead of compiling a new program:
+    padded rows/cols are masked, results identical in structure."""
+    pipe = tiny_pipeline
+    dcfg = DecodeConfig(top_k=1, temperature=1.0, kv_cache="dense")
+    pipe._warm_shapes.clear()
+
+    # warm a 2-row, 64-text shape (execute so it is genuinely live)
+    pipe.warmup(batch_sizes=(2,), text_buckets=(64,), prompt_buckets=(64,),
+                frame_buckets=(256,), dcfg=dcfg, execute=True)
+    assert (2, 64, 64, 256) in pipe._warm_shapes
+
+    # a single short request would exactly-bucket to (1, 32, 64, 256) —
+    # absent from the warm set, so it must route onto (2, 64, 64, 256)
+    res = pipe.synthesize(
+        Request(target_text="hi", target_duration=0.5), dcfg, quiet=True)
+    assert (1, 32, 64, 256) not in pipe._warm_shapes  # no new program
+    assert res.gen_frames.ndim == 1 and len(res.gen_frames) > 0
+    s = pipe.cfg.special
+    assert not np.isin(res.gen_frames, [s.y_sep, pipe.cfg.eog_inference]).any()
+
+    # exact warm hit still uses its own shape (no routing needed)
+    pipe.synthesize_batch(
+        [Request(target_text="hi", target_duration=0.5),
+         Request(target_text="yo", target_duration=0.5)], dcfg, quiet=True)
+    assert (2, 64, 64, 256) in pipe._warm_shapes
+
+
+def test_warm_routing_output_matches_unrouted(tiny_pipeline):
+    """Routing pads rows/columns only — the routed request's own row
+    decodes the same number of frames it would in a fresh exact-shape
+    program under greedy decoding (same masks, same budgets)."""
+    pipe = tiny_pipeline
+    dcfg = DecodeConfig(top_k=1, temperature=1.0, kv_cache="dense")
+    req = Request(target_text="greedy check", target_duration=0.5)
+
+    pipe._warm_shapes.clear()
+    exact = pipe.synthesize(req, dcfg, quiet=True)          # exact shape
+
+    pipe._warm_shapes.clear()
+    pipe.warmup(batch_sizes=(3,), text_buckets=(64,), prompt_buckets=(64,),
+                frame_buckets=(256,), dcfg=dcfg, execute=False)
+    routed = pipe.synthesize(req, dcfg, quiet=True)         # padded to b=3
+
+    # greedy trace is sampling-free, so padded rows cannot change the
+    # request's own tokens
+    np.testing.assert_array_equal(exact.gen_frames, routed.gen_frames)
