@@ -1030,6 +1030,25 @@ def _orchestrate(args):
             record["cold_first_audio_sec"] = None
             record["cold_serve_probe_error"] = str(exc)[:200]
 
+    # persist the record and regenerate README's generated benchmark block
+    # from it (VERDICT r4 next #5: doc numbers must equal the driver
+    # artifact — this kills the drift class at the source, since the
+    # round-end driver run rewrites the block from its own record).
+    # All output captured: the driver parses this process's LAST stdout
+    # line as the record.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        latest = os.path.join(here, "BENCH_latest.json")
+        with open(latest, "w") as f:
+            f.write(json.dumps(record) + "\n")
+        subprocess.run(
+            [sys.executable, os.path.join(here, "tools",
+                                          "update_readme_bench.py"),
+             "--bench", latest],
+            capture_output=True, timeout=60)
+    except Exception:
+        pass
+
     print(json.dumps(record))
 
 
